@@ -1,0 +1,109 @@
+"""CLI entry point (component B2): `python main.py --config config.yaml`.
+
+Matches the reference's invocation contract (/root/reference/README.md:37
+"python main.py"; README.md:42 config.yaml-driven, real-time positions out).
+Subcommands: track (default) and bench.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from vitparticlefiltertracker_tpu.config import Config, load_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vpt", description="TPU-native ViT + particle-filter tracker"
+    )
+    p.add_argument("command", nargs="?", default="track", choices=["track", "bench"])
+    p.add_argument("--config", "-c", default="", help="path to config.yaml")
+    p.add_argument(
+        "--set",
+        dest="overrides",
+        action="append",
+        default=[],
+        metavar="KEY.PATH=VALUE",
+        help="override config values, e.g. --set filter.num_particles=4096",
+    )
+    p.add_argument("--quiet", "-q", action="store_true", help="suppress stderr summary")
+    return p
+
+
+def load(args) -> Config:
+    if args.config:
+        return load_config(args.config, args.overrides)
+    cfg = Config()
+    from vitparticlefiltertracker_tpu.config import apply_override
+
+    for ov in args.overrides:
+        apply_override(cfg, ov)
+    return cfg.resolve()
+
+
+def cmd_track(cfg: Config, quiet: bool = False) -> int:
+    from vitparticlefiltertracker_tpu.io.sink import JsonlSink, OverlaySink
+    from vitparticlefiltertracker_tpu.io.video import open_source
+    from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+
+    source = open_source(
+        cfg.io.source,
+        num_frames=cfg.io.num_frames,
+        frame_size=tuple(cfg.io.frame_size),
+        seed=cfg.filter.seed,
+    )
+    tracker = Tracker(cfg)
+    sink = JsonlSink(cfg.io.output)
+    overlay = OverlaySink(cfg.io.overlay) if cfg.io.overlay else None
+
+    t_start = time.perf_counter()
+    count = 0
+    frames_iter = iter(source)
+    frame0 = next(frames_iter)
+    bbox = getattr(source, "init_bbox", None)
+    if bbox is None:
+        bbox = cfg.io.init_bbox
+    tracker.init(frame0, bbox)
+    for i, frame in enumerate(frames_iter):
+        rec = tracker.step(frame)
+        rec["frame"] = i + 1
+        sink.write(rec)
+        if overlay is not None:
+            overlay.write(frame, rec)
+        count += 1
+    wall = time.perf_counter() - t_start
+    sink.close()
+    if overlay is not None:
+        overlay.close()
+    if not quiet and count:
+        print(
+            f"tracked {count} frames in {wall:.2f}s ({count / wall:.1f} fps)",
+            file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_bench(cfg: Config, quiet: bool = False) -> int:
+    from vitparticlefiltertracker_tpu.runtime.benchmark import run_benchmark
+
+    result = run_benchmark(cfg)
+    import json
+
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = load(args)
+    if args.command == "bench":
+        return cmd_bench(cfg, args.quiet)
+    return cmd_track(cfg, args.quiet)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,237 @@
+"""Typed config schema + YAML loader (component B1, SURVEY.md §2.2).
+
+The reference drives "the tracking parameters" from a single ``config.yaml``
+(/root/reference/README.md:42) but never documents the schema; this module
+defines it. Every knob of the tracker — model size, particle count, motion
+noise, likelihood temperature, resampling threshold, seed, I/O paths, mesh —
+lives here, so a run is fully reproducible from one file.
+
+CLI overrides use dotted paths: ``--set filter.num_particles=4096``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+# ---------------------------------------------------------------------------
+# Model presets: ViT variants (reference README.md:7 names "ViT"; BASELINE
+# configs pin ViT-B/16 and ViT-L/16).
+# ---------------------------------------------------------------------------
+VIT_PRESETS: dict[str, dict[str, int]] = {
+    "vit-t16": dict(depth=4, dim=192, heads=3, mlp_dim=768, patch_size=16),
+    "vit-s16": dict(depth=12, dim=384, heads=6, mlp_dim=1536, patch_size=16),
+    "vit-b16": dict(depth=12, dim=768, heads=12, mlp_dim=3072, patch_size=16),
+    "vit-l16": dict(depth=24, dim=1024, heads=16, mlp_dim=4096, patch_size=16),
+}
+
+
+@dataclass
+class ModelConfig:
+    """ViT appearance-model hyperparameters."""
+
+    variant: str = "vit-b16"  # preset name or "custom"
+    # The following are filled from the preset unless variant == "custom".
+    depth: int = 12
+    dim: int = 768
+    heads: int = 12
+    mlp_dim: int = 3072
+    patch_size: int = 16
+    image_size: int = 224  # search-region / crop resolution fed to the ViT
+    pooling: str = "mean"  # "mean" | "cls"
+    dtype: str = "bfloat16"  # compute dtype: "bfloat16" | "float32"
+    use_flash_attention: bool = True  # Pallas flash-attn on TPU, XLA fallback
+    checkpoint: str = ""  # optional path to .npz / orbax weights
+    drop_cls_token: bool = True  # dense tracking pools patch tokens; cls off
+
+    def resolve(self) -> "ModelConfig":
+        if self.variant != "custom":
+            if self.variant not in VIT_PRESETS:
+                raise ValueError(
+                    f"unknown model.variant {self.variant!r}; "
+                    f"expected one of {sorted(VIT_PRESETS)} or 'custom'"
+                )
+            preset = VIT_PRESETS[self.variant]
+            for k, v in preset.items():
+                setattr(self, k, v)
+        if self.image_size % self.patch_size != 0:
+            raise ValueError(
+                f"model.image_size {self.image_size} must be divisible by "
+                f"patch_size {self.patch_size}"
+            )
+        if self.dim % self.heads != 0:
+            raise ValueError("model.dim must be divisible by model.heads")
+        if self.pooling not in ("mean", "cls"):
+            raise ValueError("model.pooling must be 'mean' or 'cls'")
+        return self
+
+
+@dataclass
+class MotionConfig:
+    """Gaussian constant-velocity motion model (BASELINE.json:5)."""
+
+    sigma_pos: float = 4.0  # px/frame position diffusion
+    sigma_vel: float = 1.0  # px/frame^2 velocity diffusion
+    sigma_scale: float = 0.0  # log-scale diffusion (0 => fixed box size)
+    vel_decay: float = 0.95  # velocity damping toward 0 (keeps filter stable)
+
+
+@dataclass
+class FilterConfig:
+    """Particle filter (SIR) parameters (reference README.md:8)."""
+
+    num_particles: int = 1024
+    motion: MotionConfig = field(default_factory=MotionConfig)
+    likelihood_temp: float = 20.0  # logits = temp * cosine_similarity
+    ess_threshold: float = 0.5  # resample when ESS < threshold * N
+    init_sigma_pos: float = 2.0  # initial cloud spread around the bbox
+    init_sigma_vel: float = 1.0
+    seed: int = 0
+    lost_conf_threshold: float = 0.0  # mean-top-likelihood below => "lost"
+
+    def resolve(self) -> "FilterConfig":
+        if self.num_particles <= 0:
+            raise ValueError("filter.num_particles must be positive")
+        if not 0.0 <= self.ess_threshold <= 1.0:
+            raise ValueError("filter.ess_threshold must be in [0, 1]")
+        return self
+
+
+@dataclass
+class TrackerConfig:
+    """Tracker orchestration (B9) + appearance likelihood mode.
+
+    mode:
+      * "dense": ONE ViT forward per frame on the search region; per-particle
+        embeddings are ROI-pooled from the patch-token feature map. This is
+        the TPU-first flagship path: all N hypotheses literally share a
+        single ViT forward pass per frame (BASELINE.json:5).
+      * "crop": fused gather+patchify extracts N particle crops and patch-
+        embeds them in one kernel; the batch of N crops then shares one
+        *batched* ViT forward (BASELINE.json:5's literal reading). More
+        expensive; exposed for parity and for small crop sizes.
+    """
+
+    mode: str = "dense"
+    search_scale: float = 4.0  # search region side = scale * sqrt(box area)
+    crop_size: int = 32  # crop-mode per-particle crop resolution (px)
+    roi_grid: int = 3  # dense mode: KxK ROI-align sample grid per box
+    template_ema: float = 0.02  # template update rate (0 disables)
+    template_update_conf: float = 0.5  # only update template when conf above
+    estimate: str = "mean"  # "mean" | "mode" (highest-weight particle)
+
+    def resolve(self) -> "TrackerConfig":
+        if self.mode not in ("dense", "crop"):
+            raise ValueError("tracker.mode must be 'dense' or 'crop'")
+        if self.estimate not in ("mean", "mode"):
+            raise ValueError("tracker.estimate must be 'mean' or 'mode'")
+        return self
+
+
+@dataclass
+class IOConfig:
+    """Input ingestion + output sink (B3/B13; reference README.md:42)."""
+
+    source: str = "synthetic:moving-square"  # video path, image glob, or synthetic:<name>
+    num_frames: int = 0  # 0 = whole stream; >0 truncates
+    init_bbox: list[float] = field(default_factory=lambda: [96.0, 96.0, 32.0, 32.0])
+    # init_bbox is [x, y, w, h] in source pixel coords (top-left origin).
+    output: str = ""  # JSONL path; "" = stdout
+    overlay: str = ""  # optional overlay video output path
+    frame_size: list[int] = field(default_factory=lambda: [224, 224])  # H, W of source (synthetic)
+
+
+@dataclass
+class RuntimeConfig:
+    """Device/runtime substrate (B11/B12)."""
+
+    banks: int = 1  # multi-object: independent filter banks (BASELINE.json:10)
+    mesh_banks: int = 1  # mesh axis sizes; 1,1 = single chip
+    mesh_particles: int = 1
+    donate_state: bool = True
+    prefetch_frames: int = 2  # double-buffered H2D pipeline depth
+    profile_dir: str = ""  # jax.profiler trace output ("" disables)
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    filter: FilterConfig = field(default_factory=FilterConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    io: IOConfig = field(default_factory=IOConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    def resolve(self) -> "Config":
+        self.model.resolve()
+        self.filter.resolve()
+        self.tracker.resolve()
+        return self
+
+    # -- serialization ------------------------------------------------------
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_yaml(self) -> str:
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        return _dataclass_from_dict(cls, d or {}).resolve()
+
+
+def _dataclass_from_dict(cls: type, d: dict[str, Any]) -> Any:
+    """Build nested dataclasses from a plain dict with unknown-key checks."""
+    if not dataclasses.is_dataclass(cls):
+        return d
+    names = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(d) - set(names)
+    if unknown:
+        raise ValueError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {}
+    for name, f in names.items():
+        if name not in d:
+            continue
+        v = d[name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, str) and f.type.endswith("Config")
+        ):
+            ftype = f.type if isinstance(f.type, type) else _resolve_type(f.type)
+            kwargs[name] = _dataclass_from_dict(ftype, v)
+        else:
+            kwargs[name] = v
+    return cls(**kwargs)
+
+
+def _resolve_type(name: str) -> type:
+    return globals()[name]
+
+
+def load_config(path: str, overrides: list[str] | None = None) -> Config:
+    """Load config.yaml (reference README.md:42) with CLI dotted overrides."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    cfg = Config.from_dict(raw)
+    for ov in overrides or []:
+        apply_override(cfg, ov)
+    return cfg.resolve()
+
+
+def apply_override(cfg: Config, spec: str) -> None:
+    """Apply ``a.b.c=value`` to the config in place (YAML-parsed value)."""
+    if "=" not in spec:
+        raise ValueError(f"override must look like key.path=value, got {spec!r}")
+    path, raw_val = spec.split("=", 1)
+    value = yaml.safe_load(raw_val)
+    parts = path.strip().split(".")
+    obj: Any = cfg
+    for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise ValueError(f"unknown config path {path!r} (at {p!r})")
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        raise ValueError(f"unknown config path {path!r} (at {leaf!r})")
+    setattr(obj, leaf, value)

@@ -1,0 +1,120 @@
+"""Synthetic tracking clips with known ground-truth trajectories.
+
+Drives the eval configs of BASELINE.md ("30-frame 224px synthetic clip",
+occlusion clip, needle clip, surveillance feed) without shipping video
+assets: procedurally generated, seeded, with exact ground-truth centers for
+RMSE checks (SURVEY.md §4.2 "synthetic-clip fixtures").
+
+All generators return (frames [T, H, W, 3] uint8, truth [T, 2] float32
+centers (x, y), init_bbox [4] float32 (x, y, w, h)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _textured_background(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Low-frequency RGB texture so features are non-degenerate."""
+    small = rng.uniform(40, 200, size=(h // 16 + 2, w // 16 + 2, 3))
+    ys = np.linspace(0, small.shape[0] - 1.001, h)
+    xs = np.linspace(0, small.shape[1] - 1.001, w)
+    y0, x0 = ys.astype(int), xs.astype(int)
+    fy, fx = (ys - y0)[:, None, None], (xs - x0)[None, :, None]
+    a = small[y0][:, x0] * (1 - fy) * (1 - fx) + small[y0][:, x0 + 1] * (1 - fy) * fx
+    b = small[y0 + 1][:, x0] * fy * (1 - fx) + small[y0 + 1][:, x0 + 1] * fy * fx
+    return a + b
+
+
+def _draw_target(frame: np.ndarray, cx: float, cy: float, w: float, h: float,
+                 pattern: np.ndarray) -> None:
+    """Paint a textured rectangle (the target) with sub-pixel snapping."""
+    hh, ww = frame.shape[:2]
+    x0, y0 = int(round(cx - w / 2)), int(round(cy - h / 2))
+    x1, y1 = x0 + int(w), y0 + int(h)
+    sx0, sy0 = max(0, -x0), max(0, -y0)
+    x0, y0 = max(0, x0), max(0, y0)
+    x1, y1 = min(ww, x1), min(hh, y1)
+    if x1 <= x0 or y1 <= y0:
+        return
+    patch = pattern[sy0 : sy0 + (y1 - y0), sx0 : sx0 + (x1 - x0)]
+    frame[y0:y1, x0:x1] = patch
+
+
+def make_clip(
+    name: str,
+    num_frames: int = 30,
+    height: int = 224,
+    width: int = 224,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Procedural clip registry for `io.source: synthetic:<name>`.
+
+    Names:
+      moving-square   — textured square, linear + sinusoidal motion
+      occlusion       — same, plus an occluder bar sweeping over the target
+      needle          — thin bright elongated target (medical use case,
+                        reference README.md:48)
+      surveillance    — small fast target on busy background (README.md:50)
+    """
+    rng = np.random.default_rng(seed)
+    bg = _textured_background(rng, height, width)
+
+    scale = min(height, width) / 224.0
+    if name == "needle":
+        tw, th = max(8, int(60 * scale)), max(4, int(8 * scale))
+    elif name == "surveillance":
+        tw = th = max(8, int(16 * scale))
+    else:
+        tw = th = max(8, int(32 * scale))
+
+    # High-contrast but SMOOTH target texture: a radial color gradient.
+    # Smoothness matters — fine periodic patterns (e.g. a 4px checker) invert
+    # phase under ~2px/frame motion, making the target's own appearance
+    # anti-correlate frame to frame, which no appearance tracker can match.
+    yy, xx = np.mgrid[0:th, 0:tw]
+    ry = (yy - (th - 1) / 2) / (th / 2)
+    rx = (xx - (tw - 1) / 2) / (tw / 2)
+    r = np.sqrt(rx**2 + ry**2)
+    core = np.clip(1.0 - r, 0.0, 1.0)  # 1 at center -> 0 at edge
+    pattern = np.stack(
+        [
+            40 + 215 * core,  # bright warm core
+            30 + 120 * core * core,
+            200 * np.clip(r - 0.3, 0, 1),  # bluish rim
+        ],
+        axis=-1,
+    )
+
+    margin = max(tw, th)
+    cx0, cy0 = width * 0.35, height * 0.4
+    speed = 2.0 * scale
+    amp = height * 0.12
+
+    frames = np.empty((num_frames, height, width, 3), np.uint8)
+    truth = np.empty((num_frames, 2), np.float32)
+    for t in range(num_frames):
+        cx = cx0 + speed * t
+        cy = cy0 + amp * np.sin(2 * np.pi * t / max(30, num_frames))
+        cx = np.clip(cx, margin, width - margin)
+        cy = np.clip(cy, margin, height - margin)
+        f = bg.copy()
+        # mild background flicker / sensor noise
+        f += rng.normal(0, 2.0, size=f.shape)
+        _draw_target(f, cx, cy, tw, th, pattern)
+        if name == "occlusion" and num_frames // 3 <= t < num_frames // 3 + max(5, num_frames // 6):
+            # occluder bar sweeps across the target region
+            ox = int(cx - tw)
+            f[:, max(0, ox) : max(0, ox) + 2 * tw] = np.array([90.0, 90.0, 90.0])
+        frames[t] = np.clip(f, 0, 255).astype(np.uint8)
+        truth[t] = (cx, cy)
+
+    init_bbox = np.array(
+        [truth[0, 0] - tw / 2, truth[0, 1] - th / 2, tw, th], np.float32
+    )
+    return frames, truth, init_bbox
+
+
+def parse_synthetic_source(source: str) -> str:
+    assert source.startswith("synthetic:"), source
+    return source.split(":", 1)[1]

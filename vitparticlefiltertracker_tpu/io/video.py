@@ -1,0 +1,117 @@
+"""Input ingestion (component B3): video file, image sequence, or synthetic.
+
+The reference accepts "a video feed or images" (/root/reference/README.md:42).
+Decode happens on the host (imageio-ffmpeg / OpenCV); resize/normalize happen
+on device inside the jitted step (ops/image.py), so the host only ships raw
+uint8 frames. All readers yield RGB uint8 [H, W, 3] arrays.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+from typing import Iterator, Protocol
+
+import numpy as np
+
+from vitparticlefiltertracker_tpu.io import synthetic
+
+VIDEO_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v", ".y4m"}
+IMAGE_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".ppm"}
+
+
+class FrameSource(Protocol):
+    def __iter__(self) -> Iterator[np.ndarray]: ...
+    def __len__(self) -> int: ...
+
+
+class SyntheticSource:
+    """`synthetic:<name>` — procedural clip with ground truth attached."""
+
+    def __init__(self, name: str, num_frames: int, height: int, width: int, seed: int = 0):
+        self.frames, self.truth, self.init_bbox = synthetic.make_clip(
+            name, num_frames=num_frames, height=height, width=width, seed=seed
+        )
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        yield from self.frames
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+
+class ImageSequenceSource:
+    """Glob of image files, sorted lexicographically."""
+
+    def __init__(self, pattern: str, num_frames: int = 0):
+        self.paths = sorted(globlib.glob(pattern))
+        if num_frames:
+            self.paths = self.paths[:num_frames]
+        if not self.paths:
+            raise FileNotFoundError(f"no images match {pattern!r}")
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        import imageio.v3 as iio
+
+        for p in self.paths:
+            img = iio.imread(p)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            yield np.ascontiguousarray(img[..., :3], dtype=np.uint8)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+
+class VideoFileSource:
+    """FFmpeg-decoded video file via imageio (host-side decode thread)."""
+
+    def __init__(self, path: str, num_frames: int = 0):
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        self.path = path
+        self.num_frames = num_frames
+        import imageio.v3 as iio
+
+        try:
+            meta = iio.immeta(path, plugin="pyav")
+            self._len = int(meta.get("nframes") or 0)
+        except Exception:
+            self._len = 0
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        import imageio.v3 as iio
+
+        count = 0
+        for frame in iio.imiter(self.path, plugin="pyav"):
+            yield np.ascontiguousarray(frame[..., :3], dtype=np.uint8)
+            count += 1
+            if self.num_frames and count >= self.num_frames:
+                return
+
+    def __len__(self) -> int:
+        return self.num_frames or self._len
+
+
+def open_source(
+    source: str,
+    num_frames: int = 0,
+    frame_size: tuple[int, int] = (224, 224),
+    seed: int = 0,
+):
+    """Dispatch on the config's io.source string."""
+    if source.startswith("synthetic:"):
+        name = synthetic.parse_synthetic_source(source)
+        return SyntheticSource(
+            name,
+            num_frames=num_frames or 30,
+            height=frame_size[0],
+            width=frame_size[1],
+            seed=seed,
+        )
+    ext = os.path.splitext(source)[1].lower()
+    if "*" in source or "?" in source or ext in IMAGE_EXTS:
+        return ImageSequenceSource(source, num_frames)
+    if ext in VIDEO_EXTS:
+        return VideoFileSource(source, num_frames)
+    raise ValueError(f"cannot infer source type from {source!r}")

@@ -1,0 +1,80 @@
+"""ViT weight init / save / load (SURVEY.md §5.4 checkpoint subsystem).
+
+The reference describes inference only (README.md:42) and ships no weights
+(SURVEY.md §0); weights here are random-init by default — random ViT
+features are a serviceable appearance-similarity basis for template tracking
+— or loaded from an .npz / orbax checkpoint (e.g. converted public ViT
+weights) via `model.checkpoint` in config.yaml.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitparticlefiltertracker_tpu.models.vit import VitSpec, init_vit_params
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def _unflatten(flat: dict):
+    tree: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[str(i)]) for i in range(len(node))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(tree)
+
+
+def save_params(path: str, params) -> None:
+    """Save a param pytree. `.npz` for portability; orbax for dirs."""
+    if path.endswith(".npz"):
+        flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+        np.savez(path, **flat)
+        return
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str):
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            flat = {k: jnp.asarray(z[k]) for k in z.files}
+        return _unflatten(flat)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def load_or_init(checkpoint: str, spec: VitSpec, seed: int = 0):
+    if checkpoint:
+        return load_params(checkpoint)
+    return init_vit_params(jax.random.key(seed ^ 0x5EED), spec)

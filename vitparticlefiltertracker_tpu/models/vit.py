@@ -1,0 +1,222 @@
+"""From-scratch Vision Transformer appearance model (component B4).
+
+The reference names "Vision Transformer (ViT): state-of-the-art deep
+learning techniques for superior feature extraction and object recognition"
+(/root/reference/README.md:7) with no implementation (SURVEY.md §0). This is
+a pure-JAX (framework-free) pre-LN ViT encoder designed around the TPU's
+compilation model:
+
+* patchify is a reshape/transpose + ONE [B*T, p²C] x [p²C, D] matmul — a
+  single large MXU op instead of a convolution;
+* attention dispatches to the Pallas flash kernel (ops/attention.py) on TPU;
+* compute dtype is bfloat16 by default with f32 layernorm statistics and a
+  f32 residual stream option folded into LN — weights live in f32 and are
+  cast at the call boundary, so one param pytree serves both precisions;
+* everything is shape-static: one compile per (batch, image_size) config.
+
+Params are a plain nested dict pytree (init_vit_params) — trivially
+checkpointable with orbax/npz and shardable with jax.sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vitparticlefiltertracker_tpu.ops.attention import multi_head_attention
+
+
+class VitSpec(NamedTuple):
+    depth: int = 12
+    dim: int = 768
+    heads: int = 12
+    mlp_dim: int = 3072
+    patch_size: int = 16
+    image_size: int = 224
+    pooling: str = "mean"  # "mean" | "cls"
+    dtype: Any = jnp.bfloat16  # compute dtype
+    use_flash_attention: bool = True
+    use_cls_token: bool = False  # dense tracking pools patch tokens
+    # Dense tracking needs translation-EQUIVARIANT token features: with
+    # positional embeddings, an ROI embedding encodes where the box sits in
+    # the search window (which is centered on the previous estimate), so the
+    # tracker self-confirms and drifts. Crop mode keeps them (every crop has
+    # its own coordinate frame).
+    use_pos_embed: bool = True
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + (1 if self.use_cls_token else 0)
+
+    @classmethod
+    def from_config(cls, m) -> "VitSpec":
+        """Build from config.ModelConfig (config.py)."""
+        return cls(
+            depth=m.depth,
+            dim=m.dim,
+            heads=m.heads,
+            mlp_dim=m.mlp_dim,
+            patch_size=m.patch_size,
+            image_size=m.image_size,
+            pooling=m.pooling,
+            dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
+            use_flash_attention=m.use_flash_attention,
+            use_cls_token=(m.pooling == "cls") or not m.drop_cls_token,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_vit_params(key: jax.Array, spec: VitSpec) -> dict:
+    """Truncated-normal / zeros init, f32 master weights."""
+    d, h, mlp = spec.dim, spec.heads, spec.mlp_dim
+    patch_in = spec.patch_size * spec.patch_size * 3
+
+    def tn(k, shape, std):
+        return (std * jax.random.truncated_normal(k, -2.0, 2.0, shape)).astype(jnp.float32)
+
+    keys = jax.random.split(key, 4 + spec.depth)
+    params: dict = {
+        "patch_embed": {
+            "kernel": tn(keys[0], (patch_in, d), patch_in**-0.5),
+            "bias": jnp.zeros((d,), jnp.float32),
+        },
+        "pos_embed": tn(keys[1], (spec.seq_len, d), 0.02),
+        "ln_final": {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)},
+        "blocks": [],
+    }
+    if spec.use_cls_token:
+        params["cls_token"] = tn(keys[2], (d,), 0.02)
+
+    for i in range(spec.depth):
+        bk = jax.random.split(keys[4 + i], 4)
+        params["blocks"].append(
+            {
+                "ln1": {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)},
+                "attn": {
+                    "wqkv": tn(bk[0], (d, 3 * d), d**-0.5),
+                    "bqkv": jnp.zeros((3 * d,), jnp.float32),
+                    "wo": tn(bk[1], (d, d), d**-0.5),
+                    "bo": jnp.zeros((d,), jnp.float32),
+                },
+                "ln2": {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)},
+                "mlp": {
+                    "w1": tn(bk[2], (d, mlp), d**-0.5),
+                    "b1": jnp.zeros((mlp,), jnp.float32),
+                    "w2": tn(bk[3], (mlp, d), mlp**-0.5),
+                    "b2": jnp.zeros((d,), jnp.float32),
+                },
+            }
+        )
+    return params
+
+
+def param_count(params: dict) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x: jax.Array, p: dict, dtype) -> jax.Array:
+    """LN with f32 statistics regardless of compute dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    return (y * p["scale"] + p["bias"]).astype(dtype)
+
+
+def patchify(images: jax.Array, patch_size: int) -> jax.Array:
+    """[B, H, W, C] -> [B, T, p*p*C] token pixels via reshape/transpose.
+
+    Replaces the usual conv patch-embed front half; the matmul half happens
+    in vit_forward_tokens as one MXU-sized GEMM.
+    """
+    b, hh, ww, c = images.shape
+    p = patch_size
+    gh, gw = hh // p, ww // p
+    x = images.reshape(b, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, p, p, C]
+    return x.reshape(b, gh * gw, p * p * c)
+
+
+def _block(x: jax.Array, p: dict, spec: VitSpec) -> jax.Array:
+    b, t, d = x.shape
+    h = spec.heads
+    hd = d // h
+    dtype = spec.dtype
+
+    y = _layer_norm(x, p["ln1"], dtype)
+    qkv = y @ p["attn"]["wqkv"].astype(dtype) + p["attn"]["bqkv"].astype(dtype)
+    qkv = qkv.reshape(b, t, 3, h, hd).transpose(2, 0, 3, 1, 4)  # [3, B, H, T, hd]
+    o = multi_head_attention(
+        qkv[0], qkv[1], qkv[2], use_flash=spec.use_flash_attention
+    )  # [B, H, T, hd]
+    o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
+    x = x + (o @ p["attn"]["wo"].astype(dtype) + p["attn"]["bo"].astype(dtype))
+
+    y = _layer_norm(x, p["ln2"], dtype)
+    y = y @ p["mlp"]["w1"].astype(dtype) + p["mlp"]["b1"].astype(dtype)
+    y = jax.nn.gelu(y)
+    y = y @ p["mlp"]["w2"].astype(dtype) + p["mlp"]["b2"].astype(dtype)
+    return x + y
+
+
+def vit_forward_tokens(params: dict, images: jax.Array, spec: VitSpec) -> jax.Array:
+    """Full encoder -> token features [B, T, D] (post final-LN).
+
+    images: [B, H, W, 3], already normalized float (any float dtype).
+    The dense tracker consumes this as a feature map (SURVEY.md §1.2); crop
+    mode pools it per-crop via vit_embed.
+    """
+    dtype = spec.dtype
+    tokens = patchify(images.astype(dtype), spec.patch_size)
+    x = tokens @ params["patch_embed"]["kernel"].astype(dtype) + params["patch_embed"][
+        "bias"
+    ].astype(dtype)
+    return encode_tokens(params, x, spec)
+
+
+def encode_tokens(params: dict, x: jax.Array, spec: VitSpec) -> jax.Array:
+    """Encoder over already-patch-embedded tokens [B, T_patches, D].
+
+    Split out so the fused gather+patchify kernel (ops/patchify.py) can feed
+    patch embeddings straight into the transformer.
+    """
+    dtype = spec.dtype
+    b = x.shape[0]
+    if spec.use_cls_token:
+        cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (b, 1, spec.dim))
+        x = jnp.concatenate([cls, x], axis=1)
+    if spec.use_pos_embed:
+        x = x + params["pos_embed"].astype(dtype)[None, : x.shape[1]]
+    for bp in params["blocks"]:
+        x = _block(x, bp, spec)
+    return _layer_norm(x, params["ln_final"], dtype)
+
+
+def pool_tokens(tokens: jax.Array, spec: VitSpec) -> jax.Array:
+    """[B, T, D] -> [B, D] appearance embedding."""
+    if spec.pooling == "cls":
+        return tokens[:, 0]
+    start = 1 if spec.use_cls_token else 0
+    return jnp.mean(tokens[:, start:], axis=1)
+
+
+def vit_embed(params: dict, images: jax.Array, spec: VitSpec) -> jax.Array:
+    """[B, H, W, 3] -> [B, D] pooled appearance embedding."""
+    return pool_tokens(vit_forward_tokens(params, images, spec), spec)

@@ -1,0 +1,114 @@
+"""Vision ops: normalize / bilinear sampling / window extraction / ROI pool.
+
+Component "Vision ops (JAX)" in SURVEY.md §1.2. Everything here is static-
+shape: arbitrary float window positions and sizes are handled by *sampling*
+a fixed-size grid bilinearly (gather + lerp), never by dynamic-shape slicing
+— the XLA-friendly equivalent of crop/resize (BASELINE.json:5 "frame
+decode/resize/normalize" feeding the ViT).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# ImageNet normalization, the de-facto standard for ViT backbones.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_frame(frame: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """uint8 [H, W, 3] -> normalized float [H, W, 3] (on device, in-step)."""
+    x = frame.astype(dtype) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype)
+    return (x - mean) / std
+
+
+def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Sample img [H, W, C] at float coords (ys, xs) [...], clamp-to-edge.
+
+    Coordinates are pixel-centered: (0, 0) is the center of the top-left
+    pixel. Returns [..., C]. Lowers to 4 gathers + lerp on the VPU.
+    """
+    h, w = img.shape[0], img.shape[1]
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+
+    # Flatten spatial dims -> one gather axis (TPU-friendly single gather).
+    flat = img.reshape(h * w, -1)
+
+    def take(yi, xi):
+        return jnp.take(flat, yi * w + xi, axis=0)
+
+    v00, v01 = take(y0, x0), take(y0, x1)
+    v10, v11 = take(y1, x0), take(y1, x1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def window_grid(center: jax.Array, side: jax.Array, out_size: int) -> tuple[jax.Array, jax.Array]:
+    """Sample coords (ys, xs) [out, out] of a square window in source pixels.
+
+    center: [2] = (x, y); side: scalar window side length in source px.
+    The window is resampled onto an out_size x out_size grid, so any float
+    window maps to a static shape.
+    """
+    t = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size - 0.5  # [-.5, .5)
+    ys = center[1] + side * t
+    xs = center[0] + side * t
+    return jnp.broadcast_to(ys[:, None], (out_size, out_size)), jnp.broadcast_to(
+        xs[None, :], (out_size, out_size)
+    )
+
+
+def extract_window(
+    img: jax.Array, center: jax.Array, side: jax.Array, out_size: int
+) -> jax.Array:
+    """Resample a square window (any float center/side) to [out, out, C]."""
+    ys, xs = window_grid(center, side, out_size)
+    return bilinear_sample(img, ys, xs)
+
+
+def frame_to_window_coords(
+    pts_xy: jax.Array, center: jax.Array, side: jax.Array, out_size: int
+) -> jax.Array:
+    """Map frame-pixel (x, y) points [..., 2] into window-pixel coords.
+
+    Inverse of window_grid: window pixel i samples frame coord
+    c + side*((i+0.5)/out - 0.5), so i = ((p-c)/side + 0.5)*out - 0.5.
+    """
+    return ((pts_xy - center) / side + 0.5) * out_size - 0.5
+
+
+def roi_pool(
+    feat: jax.Array,  # [Gh, Gw, D] token feature grid
+    centers: jax.Array,  # [N, 2] box centers in feature-grid coords
+    sizes: jax.Array,  # [N, 2] box (w, h) in feature-grid units
+    grid: int,  # K: KxK ROI-align sample points
+) -> jax.Array:
+    """ROI-align: mean of KxK bilinear samples per box -> [N, D].
+
+    This is how all N particle hypotheses share ONE ViT forward per frame
+    (BASELINE.json:5): the ViT runs once on the search window, and each
+    hypothesis reads its appearance embedding from the token grid.
+    """
+    n = centers.shape[0]
+    t = (jnp.arange(grid, dtype=jnp.float32) + 0.5) / grid - 0.5  # K offsets in [-.5,.5)
+    # [N, K] per-axis sample coords
+    ys = centers[:, 1:2] + sizes[:, 1:2] * t[None, :]
+    xs = centers[:, 0:1] + sizes[:, 0:1] * t[None, :]
+    # [N, K, K]
+    ys2 = jnp.broadcast_to(ys[:, :, None], (n, grid, grid))
+    xs2 = jnp.broadcast_to(xs[:, None, :], (n, grid, grid))
+    samples = bilinear_sample(feat, ys2, xs2)  # [N, K, K, D]
+    return jnp.mean(samples, axis=(1, 2))

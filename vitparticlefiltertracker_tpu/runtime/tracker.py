@@ -1,0 +1,339 @@
+"""Tracker orchestration (component B9): init(frame, bbox) / step(frame).
+
+Implements the reference's observable behavior — video/images in, per-frame
+tracked positions out, in real time (/root/reference/README.md:42) — as ONE
+jitted device function per frame (SURVEY.md §3.2(a)): propagate -> extract ->
+ViT -> likelihood -> estimate -> resample, with zero host round-trips inside
+the step. The only per-frame D2H transfer is the small output record; the
+only H2D is the raw uint8 frame. TrackerState is donated every step, so the
+particle set is updated in place in HBM.
+
+Two appearance modes (config tracker.mode, see config.py TrackerConfig):
+dense (one ViT forward on the search window + ROI-pooled per-particle
+embeddings) and crop (fused gather+patchify of N crops -> one batched ViT
+forward).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.filters.particle import (
+    MotionParams,
+    PFParams,
+    PFState,
+    draw_step_noise,
+    init_state,
+    pf_update,
+    propagate,
+)
+from vitparticlefiltertracker_tpu.models.vit import (
+    VitSpec,
+    encode_tokens,
+    init_vit_params,
+    pool_tokens,
+    vit_forward_tokens,
+)
+from vitparticlefiltertracker_tpu.ops.image import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    extract_window,
+    frame_to_window_coords,
+    roi_pool,
+)
+from vitparticlefiltertracker_tpu.ops.likelihood import cosine_log_likelihood, l2_normalize
+from vitparticlefiltertracker_tpu.ops.patchify import gather_patchify
+
+
+class TrackerState(NamedTuple):
+    """Device-resident tracker state pytree (SURVEY.md §3.2(b))."""
+
+    pf: PFState
+    template: jax.Array  # [D] f32, L2-normalized appearance template
+    box_wh: jax.Array  # [2] f32 base box (w, h) at log_s = 0
+    center: jax.Array  # [2] f32 search-window center (prev estimate)
+    prev_scale: jax.Array  # [] f32 last estimated scale factor exp(log_s)
+    key: jax.Array  # base PRNG key; per-frame keys fold in frame_idx
+    frame_idx: jax.Array  # [] int32
+    conf: jax.Array  # [] f32 last appearance confidence (max cosine)
+    lost: jax.Array  # [] bool target-lost flag (SURVEY.md §5.3)
+
+
+class TrackOutput(NamedTuple):
+    position: jax.Array  # [2] (x, y) posterior-mean target center
+    box: jax.Array  # [2] (w, h) estimated box size
+    velocity: jax.Array  # [2] posterior-mean velocity
+    conf: jax.Array  # [] max cosine similarity to template
+    ess: jax.Array  # [] effective sample size
+    resampled: jax.Array  # [] bool
+    lost: jax.Array  # [] bool
+
+
+def _pf_params(cfg: Config) -> PFParams:
+    f = cfg.filter
+    return PFParams(
+        motion=MotionParams(
+            sigma_pos=f.motion.sigma_pos,
+            sigma_vel=f.motion.sigma_vel,
+            sigma_scale=f.motion.sigma_scale,
+            vel_decay=f.motion.vel_decay,
+        ),
+        ess_threshold=f.ess_threshold,
+        init_sigma_pos=f.init_sigma_pos,
+        init_sigma_vel=f.init_sigma_vel,
+    )
+
+
+def _normalize_window(window_raw: jax.Array) -> jax.Array:
+    """Normalize an already-extracted uint8-valued float window.
+
+    Normalization is affine, so it commutes with bilinear sampling — doing it
+    after extraction touches S*S px instead of the whole frame.
+    """
+    mean = jnp.asarray(IMAGENET_MEAN, window_raw.dtype) * 255.0
+    std = jnp.asarray(IMAGENET_STD, window_raw.dtype) * 255.0
+    return (window_raw - mean) / std
+
+
+def _window_side(box_wh: jax.Array, scale: jax.Array, search_scale: float) -> jax.Array:
+    return search_scale * jnp.sqrt(box_wh[0] * box_wh[1]) * scale
+
+
+class _Fns(NamedTuple):
+    init: Any
+    step: Any
+
+
+def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
+    """Build (init_fn, step_fn), both pure and jittable, closing over config
+    statics and ViT weights. step donates TrackerState."""
+    spec = VitSpec.from_config(cfg.model)
+    pfp = _pf_params(cfg)
+    n = cfg.filter.num_particles
+    temp = cfg.filter.likelihood_temp
+    lost_thresh = cfg.filter.lost_conf_threshold
+    t = cfg.tracker
+    mode = t.mode
+    s_img = cfg.model.image_size if mode == "dense" else t.crop_size
+    patch = cfg.model.patch_size
+    grid = s_img // patch
+    ema = t.template_ema
+    upd_conf = t.template_update_conf
+
+    if mode == "crop":
+        spec = spec._replace(image_size=t.crop_size)
+    else:
+        # Translation-equivariant features for ROI pooling (see VitSpec).
+        spec = spec._replace(use_pos_embed=False)
+
+    # ---- appearance embedding -------------------------------------------
+    def dense_embeddings(frame_f32, center, side, boxes_xy, boxes_wh):
+        """One ViT forward on the search window; ROI-pool each box.
+        boxes_xy: [M, 2] frame-px centers; boxes_wh: [M, 2] frame-px sizes."""
+        window = _normalize_window(extract_window(frame_f32, center, side, s_img))
+        feat = vit_forward_tokens(vit_params, window[None], spec)[0]
+        feat = feat.reshape(grid, grid, spec.dim)
+        win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
+        gxy = (win_px - (patch - 1) / 2.0) / patch  # feature-grid coords
+        gwh = boxes_wh / side * s_img / patch
+        emb = roi_pool(feat, gxy, gwh, t.roi_grid)  # [M, D]
+        in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
+        return emb, in_win
+
+    def crop_embeddings(frame_f32, boxes_xy, boxes_wh):
+        """Fused gather+patchify -> one batched ViT encoder call."""
+        # Fold pixel normalization into the patch-embed affine map:
+        # ((x - m)/s) @ K = x @ (K / s_per_channel) - ((m/s) @ K), so the
+        # crops can be sampled from the raw uint8-valued frame directly.
+        c = 3
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+        std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+        kern_f = vit_params["patch_embed"]["kernel"]  # [p*p*3, D] f32
+        kern_scaled = (kern_f.reshape(-1, c, spec.dim) / std[None, :, None]).reshape(
+            -1, spec.dim
+        )
+        bias_shift = jnp.einsum(
+            "pcd,c->d", kern_f.reshape(-1, c, spec.dim), mean / std
+        )
+        tokens = gather_patchify(
+            frame_f32,
+            boxes_xy,
+            boxes_wh,  # crop extent == hypothesis box
+            t.crop_size,
+            patch,
+            kern_scaled.astype(spec.dtype),
+            (vit_params["patch_embed"]["bias"] - bias_shift).astype(spec.dtype),
+        )
+        feats = encode_tokens(vit_params, tokens, spec)
+        return pool_tokens(feats, spec), jnp.ones(boxes_xy.shape[0], bool)
+
+    def embeddings(frame_f32, center, side, boxes_xy, boxes_wh):
+        if mode == "dense":
+            return dense_embeddings(frame_f32, center, side, boxes_xy, boxes_wh)
+        return crop_embeddings(frame_f32, boxes_xy, boxes_wh)
+
+    # ---- init -------------------------------------------------------------
+    def init_fn(frame_u8: jax.Array, bbox: jax.Array, seed) -> TrackerState:
+        """bbox: [4] (x, y, w, h) frame px. Template + particle cloud init."""
+        key = jax.random.key(seed)
+        frame_f32 = frame_u8.astype(jnp.float32)
+        center = bbox[:2] + bbox[2:] / 2.0
+        box_wh = bbox[2:]
+        side = _window_side(box_wh, jnp.float32(1.0), t.search_scale)
+        emb, _ = embeddings(frame_f32, center, side, center[None], box_wh[None])
+        template = l2_normalize(emb[0].astype(jnp.float32))
+        pf = init_state(jax.random.fold_in(key, 0xFFFFFFFF), center, n, pfp)
+        return TrackerState(
+            pf=pf,
+            template=template,
+            box_wh=box_wh,
+            center=center,
+            prev_scale=jnp.float32(1.0),
+            key=key,
+            frame_idx=jnp.int32(0),
+            conf=jnp.float32(1.0),
+            lost=jnp.asarray(False),
+        )
+
+    # ---- step -------------------------------------------------------------
+    def step_fn(state: TrackerState, frame_u8: jax.Array):
+        frame_f32 = frame_u8.astype(jnp.float32)
+        noise = draw_step_noise(jax.random.fold_in(state.key, state.frame_idx), n)
+        particles = propagate(state.pf.particles, noise, pfp.motion)
+
+        side = _window_side(state.box_wh, state.prev_scale, t.search_scale)
+        boxes_xy = particles[:, 0:2]
+        boxes_wh = state.box_wh[None, :] * jnp.exp(particles[:, 4:5])
+        emb, in_win = embeddings(frame_f32, state.center, side, boxes_xy, boxes_wh)
+        loglik, cos = cosine_log_likelihood(emb, state.template, temp)
+        loglik = jnp.where(in_win, loglik, loglik - 1e4)
+
+        out = pf_update(particles, state.pf.log_weights, loglik, noise.resample_u, pfp)
+        est = out.estimate
+        est_xy = est[0:2]
+        est_scale = jnp.exp(est[4])
+        conf = jnp.max(cos)
+        lost = conf < lost_thresh
+
+        # Template EMA update at the estimated box (B8 robustness), gated on
+        # confidence so occlusions don't poison the template.
+        if ema > 0.0:
+            est_emb, _ = embeddings(
+                frame_f32, state.center, side, est_xy[None],
+                (state.box_wh * est_scale)[None],
+            )
+            cand = l2_normalize(
+                (1.0 - ema) * state.template
+                + ema * l2_normalize(est_emb[0].astype(jnp.float32))
+            )
+            do_upd = (conf > upd_conf) & ~lost
+            template = jnp.where(do_upd, cand, state.template)
+        else:
+            template = state.template
+
+        # When lost, freeze the search window instead of chasing noise.
+        new_center = jnp.where(lost, state.center, est_xy)
+        new_state = TrackerState(
+            pf=out.state,
+            template=template,
+            box_wh=state.box_wh,
+            center=new_center,
+            prev_scale=jnp.where(lost, state.prev_scale, est_scale),
+            key=state.key,
+            frame_idx=state.frame_idx + 1,
+            conf=conf,
+            lost=lost,
+        )
+        track_out = TrackOutput(
+            position=est_xy,
+            box=state.box_wh * est_scale,
+            velocity=est[2:4],
+            conf=conf,
+            ess=out.ess,
+            resampled=out.resampled,
+            lost=lost,
+        )
+        return new_state, track_out
+
+    return _Fns(init=init_fn, step=step_fn)
+
+
+class Tracker:
+    """User-facing API: Tracker(cfg).init(frame, bbox); .step(frame); .run(src).
+
+    Mirrors the reference's usage contract (README.md:37,42): construct from
+    a config, feed frames, receive per-frame positions in real time.
+    """
+
+    def __init__(self, cfg: Config, vit_params=None):
+        cfg.resolve()
+        self.cfg = cfg
+        spec = VitSpec.from_config(cfg.model)
+        if cfg.tracker.mode == "crop":
+            spec = spec._replace(image_size=cfg.tracker.crop_size)
+        self.spec = spec
+        if vit_params is None:
+            from vitparticlefiltertracker_tpu.models.params import load_or_init
+
+            vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
+        self.vit_params = vit_params
+        fns = build_tracker_fns(cfg, vit_params)
+        self._init_jit = jax.jit(fns.init, static_argnames="seed")
+        self._step_jit = jax.jit(fns.step, donate_argnums=(0,))
+        self.state: TrackerState | None = None
+
+    # -- lifecycle -----------------------------------------------------------
+    def init(self, frame: np.ndarray, bbox) -> None:
+        bbox = jnp.asarray(np.asarray(bbox, np.float32))
+        self.state = self._init_jit(jnp.asarray(frame), bbox, self.cfg.filter.seed)
+
+    def step(self, frame: np.ndarray) -> dict[str, Any]:
+        """Track one frame; returns a host-side record (the one D2H)."""
+        assert self.state is not None, "call init() first"
+        t0 = time.perf_counter()
+        self.state, out = self._step_jit(self.state, jnp.asarray(frame))
+        rec = self._to_record(out)
+        rec["step_ms"] = (time.perf_counter() - t0) * 1e3
+        return rec
+
+    def step_device(self, frame_dev: jax.Array) -> TrackOutput:
+        """Device-native step: no host sync (for streaming/bench loops)."""
+        self.state, out = self._step_jit(self.state, frame_dev)
+        return out
+
+    @staticmethod
+    def _to_record(out: TrackOutput) -> dict[str, Any]:
+        pos = np.asarray(out.position)
+        box = np.asarray(out.box)
+        return {
+            "position": [float(pos[0]), float(pos[1])],
+            "box": [float(box[0]), float(box[1])],
+            "velocity": np.asarray(out.velocity).tolist(),
+            "conf": float(out.conf),
+            "ess": float(out.ess),
+            "resampled": bool(out.resampled),
+            "lost": bool(out.lost),
+        }
+
+    def run(self, source, sink=None, init_bbox=None):
+        """Track a whole source; yields per-frame records (README.md:42)."""
+        it = iter(source)
+        frame0 = next(it)
+        bbox = init_bbox
+        if bbox is None:
+            bbox = getattr(source, "init_bbox", None)
+        if bbox is None:
+            bbox = self.cfg.io.init_bbox
+        self.init(frame0, bbox)
+        for i, frame in enumerate(it):
+            rec = self.step(frame)
+            rec["frame"] = i + 1
+            if sink is not None:
+                sink.write(rec)
+            yield rec

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Headline benchmark: frames/sec/chip at ViT-B/16 + 1k particles.
+
+BASELINE.json:2/5 — target >=60 fps/chip with per-frame p50 < 16 ms on the
+640x480 single-target config. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, ...}
+vs_baseline is measured fps / 60 (the reference publishes no numbers —
+SURVEY.md §6 — so the driver's north-star target is the baseline).
+"""
+
+import json
+import sys
+
+from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.runtime.benchmark import run_benchmark
+from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def main() -> int:
+    cfg = Config.from_dict(
+        {
+            "model": {
+                "variant": "vit-b16",
+                "image_size": 224,
+                "dtype": "bfloat16",
+                "use_flash_attention": True,
+            },
+            "filter": {"num_particles": 1024, "seed": 0},
+            "tracker": {"mode": "dense", "search_scale": 4.0, "roi_grid": 3},
+            "io": {
+                "source": "synthetic:moving-square",
+                "num_frames": 16,
+                "frame_size": [480, 640],
+            },
+        }
+    )
+    result = run_benchmark(cfg, warmup=8, measure_frames=200, stage_frames=8)
+    target_fps = 60.0
+    out = {
+        "metric": "frames/sec/chip at ViT-B/16 + 1k particles",
+        "value": round(result["fps"], 2),
+        "unit": "fps",
+        "vs_baseline": round(result["fps"] / target_fps, 3),
+        "p50_ms": round(result["p50_ms"], 3),
+        "p99_ms": round(result["p99_ms"], 3),
+        "backend": result["config"]["backend"],
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,162 @@
+"""End-to-end tracker tests (SURVEY.md §4.2 integration tier).
+
+Small ViT (tiny/64px) keeps CPU runtime manageable; the contract tested is
+the reference's: video in -> per-frame positions out (README.md:42), with
+RMSE, determinism, and banked multi-object coverage.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.io.video import open_source
+from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+
+
+def tiny_cfg(**over):
+    d = {
+        "model": {
+            "variant": "vit-t16",
+            "image_size": 128,
+            "dtype": "float32",
+            "use_flash_attention": False,
+        },
+        "filter": {"num_particles": 256, "motion": {"sigma_pos": 3.0}},
+        "tracker": {"mode": "dense"},
+        "io": {
+            "source": "synthetic:moving-square",
+            "num_frames": 20,
+            "frame_size": [224, 224],
+        },
+    }
+    for k, v in over.items():
+        for kk, vv in v.items():
+            d[k][kk] = vv
+    return Config.from_dict(d)
+
+
+def run_clip(cfg, seed=0):
+    src = open_source(cfg.io.source, cfg.io.num_frames, tuple(cfg.io.frame_size), seed=seed)
+    tr = Tracker(cfg)
+    recs = list(tr.run(src))
+    errs = [
+        np.hypot(r["position"][0] - src.truth[r["frame"]][0],
+                 r["position"][1] - src.truth[r["frame"]][1])
+        for r in recs
+    ]
+    return recs, np.asarray(errs)
+
+
+def test_tracks_synthetic_target_dense():
+    cfg = tiny_cfg()
+    recs, errs = run_clip(cfg)
+    rmse = float(np.sqrt(np.mean(errs**2)))
+    assert rmse < 10.0, f"RMSE {rmse}, errs {errs}"
+    assert np.mean(errs[-5:]) < 10.0  # stays locked at the end
+    assert all(r["conf"] > 0.7 for r in recs)
+
+
+def test_tracks_synthetic_target_crop_mode():
+    cfg = tiny_cfg(tracker={"mode": "crop", "crop_size": 32})
+    recs, errs = run_clip(cfg)
+    rmse = float(np.sqrt(np.mean(errs**2)))
+    assert rmse < 12.0, f"RMSE {rmse}, errs {errs}"
+
+
+def test_determinism_same_seed():
+    cfg = tiny_cfg()
+    cfg.io.num_frames = 8
+    recs1, _ = run_clip(cfg)
+    recs2, _ = run_clip(cfg)
+    for a, b in zip(recs1, recs2):
+        assert a["position"] == b["position"]
+        assert a["resampled"] == b["resampled"]
+
+
+def test_different_seed_different_trajectory():
+    cfg = tiny_cfg()
+    cfg.io.num_frames = 8
+    recs1, _ = run_clip(cfg)
+    cfg.filter.seed = 123
+    recs3, _ = run_clip(cfg)
+    assert any(a["position"] != b["position"] for a, b in zip(recs1, recs3))
+
+
+def test_occlusion_clip_recovers():
+    """Eval config 2's occlusion scenario (BASELINE.md): tracker survives a
+    sweep occluder — ESS drops, then re-locks within a few frames."""
+    cfg = tiny_cfg(io={"source": "synthetic:occlusion", "num_frames": 30})
+    recs, errs = run_clip(cfg)
+    # end of clip (post occlusion) within threshold
+    assert np.mean(errs[-5:]) < 14.0, errs[-5:]
+
+
+def test_banked_multitracker():
+    from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+
+    cfg = tiny_cfg()
+    cfg.runtime.banks = 4
+    src = open_source(cfg.io.source, 8, (224, 224), seed=0)
+    frames = list(src)
+    mt = MultiTracker(cfg)
+    bboxes = np.tile(np.asarray(src.init_bbox, np.float32), (4, 1))
+    mt.init(frames[0], bboxes)
+    for f in frames[1:]:
+        recs = mt.step(f)
+    assert len(recs) == 4
+    # all banks track the same target -> similar final positions
+    pos = np.asarray([r["position"] for r in recs])
+    t = src.truth[len(frames) - 1]
+    err = np.linalg.norm(pos - t[None], axis=1)
+    assert np.all(err < 15.0), (pos, t)
+
+
+def test_banked_sharded_on_mesh():
+    """B11: banked tracker on a ("bank","particle") mesh over 8 fake devices."""
+    from vitparticlefiltertracker_tpu.parallel.mesh import make_mesh
+    from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = tiny_cfg()
+    cfg.model.image_size = 64
+    cfg.filter.num_particles = 64
+    cfg.runtime.banks = 2
+    mesh = make_mesh(2, 4)
+    src = open_source(cfg.io.source, 6, (224, 224), seed=0)
+    frames = list(src)
+    mt = MultiTracker(cfg, mesh=mesh)
+    mt.init(frames[0], np.tile(np.asarray(src.init_bbox, np.float32), (2, 1)))
+    for f in frames[1:]:
+        recs = mt.step(f)
+    assert len(recs) == 2
+    assert all(np.isfinite(r["position"]).all() for r in recs)
+
+
+def test_sharded_matches_unsharded():
+    """Same seed: mesh-sharded and single-device runs agree (SURVEY.md §7
+    determinism across 1-chip / n-chip)."""
+    from vitparticlefiltertracker_tpu.parallel.mesh import make_mesh
+    from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = tiny_cfg()
+    cfg.model.image_size = 64
+    cfg.filter.num_particles = 64
+    cfg.runtime.banks = 2
+    src = open_source(cfg.io.source, 5, (224, 224), seed=0)
+    frames = list(src)
+    bboxes = np.tile(np.asarray(src.init_bbox, np.float32), (2, 1))
+
+    def run(mesh):
+        mt = MultiTracker(cfg, mesh=mesh)
+        mt.init(frames[0], bboxes)
+        out = [mt.step(f) for f in frames[1:]]
+        return np.asarray([[r["position"] for r in recs] for recs in out])
+
+    a = run(None)
+    b = run(make_mesh(2, 4))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)

@@ -98,6 +98,9 @@ def cmd_bench(cfg: Config, quiet: bool = False) -> int:
 
 
 def main(argv=None) -> int:
+    from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     cfg = load(args)
     if args.command == "bench":

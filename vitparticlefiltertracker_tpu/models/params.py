@@ -77,4 +77,8 @@ def load_params(path: str):
 def load_or_init(checkpoint: str, spec: VitSpec, seed: int = 0):
     if checkpoint:
         return load_params(checkpoint)
-    return init_vit_params(jax.random.key(seed ^ 0x5EED), spec)
+    # One jitted executable for the whole init: on a remote-tunneled TPU,
+    # eager init would dispatch ~150 individually-compiled ops; jitting
+    # collapses it to a single compile and zero host<->device transfers.
+    init = jax.jit(init_vit_params, static_argnames="spec")
+    return init(jax.random.key(seed ^ 0x5EED), spec)

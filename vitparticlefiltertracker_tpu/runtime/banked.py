@@ -1,0 +1,126 @@
+"""Multi-object tracking: K independent filter banks (component B10).
+
+The reference's surveillance use case (/root/reference/README.md:50) implies
+multiple tracked objects; BASELINE.json:10 pins the eval config at "8 filter
+banks x 1k particles". TPU-natively this is just `jax.vmap` of the
+single-object tracker step over a leading bank axis — one batched ViT
+forward serves all banks — optionally sharded over a ("bank", "particle")
+mesh (parallel/mesh.py) so banks and particle batches spread across chips
+with XLA inserting the collectives.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.parallel.mesh import (
+    banked_state_sharding,
+    make_mesh,
+    replicated,
+)
+from vitparticlefiltertracker_tpu.runtime.tracker import (
+    TrackerState,
+    build_tracker_fns,
+)
+
+
+def build_banked_fns(cfg: Config, vit_params):
+    """(init, step) over banked state: leading axis K on every state leaf.
+
+    init(frame, bboxes [K,4], seeds [K]) -> BankedState
+    step(state, frame) -> (BankedState, TrackOutput[K])
+    """
+    fns = build_tracker_fns(cfg, vit_params)
+    init_b = jax.vmap(fns.init, in_axes=(None, 0, 0))
+    step_b = jax.vmap(fns.step, in_axes=(0, None))
+    return init_b, step_b
+
+
+class MultiTracker:
+    """K-object tracker over one shared frame stream.
+
+    With runtime.mesh_banks/mesh_particles > 1, state is laid out on a
+    ("bank", "particle") mesh and the jitted step runs SPMD across chips.
+    """
+
+    def __init__(self, cfg: Config, vit_params=None, mesh=None):
+        cfg.resolve()
+        self.cfg = cfg
+        self.banks = cfg.runtime.banks
+        if vit_params is None:
+            from vitparticlefiltertracker_tpu.models.params import load_or_init
+            from vitparticlefiltertracker_tpu.models.vit import VitSpec
+
+            spec = VitSpec.from_config(cfg.model)
+            if cfg.tracker.mode == "crop":
+                spec = spec._replace(image_size=cfg.tracker.crop_size)
+            vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
+        self.vit_params = vit_params
+        init_b, step_b = build_banked_fns(cfg, vit_params)
+
+        r = cfg.runtime
+        if mesh is None and r.mesh_banks * r.mesh_particles > 1:
+            mesh = make_mesh(r.mesh_banks, r.mesh_particles)
+        self.mesh = mesh
+
+        if mesh is not None:
+            self._init_jit = jax.jit(init_b)  # sharding applied post-init
+            self._step_jit = None  # built lazily once state sharding is known
+            self._step_b = step_b
+        else:
+            self._init_jit = jax.jit(init_b)
+            self._step_jit = jax.jit(step_b, donate_argnums=(0,))
+        self.state = None
+
+    def init(self, frame: np.ndarray, bboxes) -> None:
+        bboxes = jnp.asarray(np.asarray(bboxes, np.float32)).reshape(self.banks, 4)
+        seeds = jnp.arange(self.banks, dtype=jnp.int32) + jnp.int32(self.cfg.filter.seed)
+        state = self._init_jit(jnp.asarray(frame), bboxes, seeds)
+        if self.mesh is not None:
+            shardings = banked_state_sharding(self.mesh, state)
+            state = jax.device_put(state, shardings)
+            if self._step_jit is None:
+                # Pin the output state to the same layout as the input state
+                # so step N+1's in_shardings match and donation is in-place.
+                self._step_jit = jax.jit(
+                    self._step_b,
+                    in_shardings=(shardings, replicated(self.mesh)),
+                    out_shardings=(shardings, None),
+                    donate_argnums=(0,),
+                )
+        self.state = state
+
+    def step(self, frame: np.ndarray) -> list[dict[str, Any]]:
+        assert self.state is not None, "call init() first"
+        t0 = time.perf_counter()
+        self.state, out = self._step_jit(self.state, jnp.asarray(frame))
+        ms = (time.perf_counter() - t0) * 1e3
+        pos = np.asarray(out.position)
+        box = np.asarray(out.box)
+        conf = np.asarray(out.conf)
+        ess = np.asarray(out.ess)
+        lost = np.asarray(out.lost)
+        res = np.asarray(out.resampled)
+        return [
+            {
+                "bank": k,
+                "position": pos[k].tolist(),
+                "box": box[k].tolist(),
+                "conf": float(conf[k]),
+                "ess": float(ess[k]),
+                "resampled": bool(res[k]),
+                "lost": bool(lost[k]),
+                "step_ms": ms,
+            }
+            for k in range(self.banks)
+        ]
+
+    def step_device(self, frame_dev: jax.Array):
+        self.state, out = self._step_jit(self.state, frame_dev)
+        return out

@@ -1,0 +1,110 @@
+"""Streaming decode→track pipeline (component B12).
+
+BASELINE.json:12: "streaming 4K@60fps, ViT-L, 16k particles, fused
+decode->track pipeline". Host-side decode runs in a producer thread feeding
+a bounded queue; frames are shipped to the device asynchronously
+(`jax.device_put` returns before the copy completes) so H2D transfer of
+frame t+1 overlaps the device step of frame t — double buffering without
+any manual buffer management, courtesy of JAX's async dispatch.
+
+The consumer never blocks on device results mid-stream: step outputs are
+device arrays whose readback is deferred to a small trailing window,
+keeping the device queue full (SURVEY.md §1.2 "double-buffered H2D").
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+
+class FramePump:
+    """Producer thread: decode/generate frames into a bounded queue.
+
+    The queue bound provides backpressure so a fast decoder can't overrun
+    host memory; `depth` ~ 2-4 is enough to hide decode jitter (classic
+    double/triple buffering).
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, source: Iterable[np.ndarray], depth: int = 3):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._run, args=(source,), daemon=True)
+        self._err: BaseException | None = None
+        self._thread.start()
+
+    def _run(self, source) -> None:
+        try:
+            for frame in source:
+                self._q.put(frame)
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
+def stream_track(
+    tracker,
+    source: Iterable[np.ndarray],
+    init_bbox,
+    on_record: Callable[[dict[str, Any]], None] | None = None,
+    readback_window: int = 4,
+    pump_depth: int = 3,
+) -> dict[str, Any]:
+    """Run the fused decode→track pipeline over a source.
+
+    tracker: Tracker or MultiTracker (duck-typed: init / step_device).
+    Returns summary stats (fps, frames). Per-frame records stream to
+    on_record with `readback_window` frames of latency — the device is never
+    drained mid-stream.
+    """
+    pump = FramePump(source, depth=pump_depth)
+    it = iter(pump)
+    frame0 = next(it)
+    tracker.init(frame0, init_bbox)
+
+    pending: list[tuple[int, Any]] = []
+    n = 0
+    t0 = time.perf_counter()
+    for i, frame in enumerate(it, start=1):
+        dev = jax.device_put(frame)  # async H2D; overlaps previous step
+        out = tracker.step_device(dev)
+        pending.append((i, out))
+        n += 1
+        if len(pending) > readback_window:
+            idx, old = pending.pop(0)
+            _emit(idx, old, on_record)
+    for idx, out in pending:
+        _emit(idx, out, on_record)
+    jax.block_until_ready(getattr(tracker, "state"))
+    wall = time.perf_counter() - t0
+    return {"frames": n, "wall_s": wall, "fps": n / wall if wall > 0 else 0.0}
+
+
+def _emit(idx: int, out, on_record) -> None:
+    if on_record is None:
+        return
+    rec = {
+        "frame": idx,
+        "position": np.asarray(out.position).tolist(),
+        "box": np.asarray(out.box).tolist(),
+        "conf": np.asarray(out.conf).tolist(),
+        "ess": np.asarray(out.ess).tolist(),
+        "lost": np.asarray(out.lost).tolist(),
+    }
+    on_record(rec)

@@ -179,8 +179,9 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
         return crop_embeddings(frame_f32, boxes_xy, boxes_wh)
 
     # ---- init -------------------------------------------------------------
-    def init_fn(frame_u8: jax.Array, bbox: jax.Array, seed) -> TrackerState:
-        """bbox: [4] (x, y, w, h) frame px. Template + particle cloud init."""
+    def init_fn(frame_u8: jax.Array, bbox: jax.Array, seed: jax.Array) -> TrackerState:
+        """bbox: [4] (x, y, w, h) frame px; seed: int32 scalar (traced, so the
+        banked tracker can vmap over per-bank seeds). Template + cloud init."""
         key = jax.random.key(seed)
         frame_f32 = frame_u8.astype(jnp.float32)
         center = bbox[:2] + bbox[2:] / 2.0
@@ -284,14 +285,15 @@ class Tracker:
             vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
         self.vit_params = vit_params
         fns = build_tracker_fns(cfg, vit_params)
-        self._init_jit = jax.jit(fns.init, static_argnames="seed")
+        self._init_jit = jax.jit(fns.init)
         self._step_jit = jax.jit(fns.step, donate_argnums=(0,))
         self.state: TrackerState | None = None
 
     # -- lifecycle -----------------------------------------------------------
     def init(self, frame: np.ndarray, bbox) -> None:
         bbox = jnp.asarray(np.asarray(bbox, np.float32))
-        self.state = self._init_jit(jnp.asarray(frame), bbox, self.cfg.filter.seed)
+        seed = jnp.int32(self.cfg.filter.seed)
+        self.state = self._init_jit(jnp.asarray(frame), bbox, seed)
 
     def step(self, frame: np.ndarray) -> dict[str, Any]:
         """Track one frame; returns a host-side record (the one D2H)."""

@@ -118,6 +118,7 @@ class TrackerConfig:
     mode: str = "dense"
     search_scale: float = 4.0  # search region side = scale * sqrt(box area)
     crop_size: int = 32  # crop-mode per-particle crop resolution (px)
+    crop_region: int = 64  # crop-mode static source-region bound (px)
     roi_grid: int = 3  # dense mode: KxK ROI-align sample grid per box
     template_ema: float = 0.02  # template update rate (0 disables)
     template_update_conf: float = 0.5  # only update template when conf above

@@ -95,31 +95,35 @@ def init_vit_params(key: jax.Array, spec: VitSpec) -> dict:
         },
         "pos_embed": tn(keys[1], (spec.seq_len, d), 0.02),
         "ln_final": {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)},
-        "blocks": [],
     }
     if spec.use_cls_token:
         params["cls_token"] = tn(keys[2], (d,), 0.02)
 
-    for i in range(spec.depth):
-        bk = jax.random.split(keys[4 + i], 4)
-        params["blocks"].append(
-            {
-                "ln1": {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)},
-                "attn": {
-                    "wqkv": tn(bk[0], (d, 3 * d), d**-0.5),
-                    "bqkv": jnp.zeros((3 * d,), jnp.float32),
-                    "wo": tn(bk[1], (d, d), d**-0.5),
-                    "bo": jnp.zeros((d,), jnp.float32),
-                },
-                "ln2": {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)},
-                "mlp": {
-                    "w1": tn(bk[2], (d, mlp), d**-0.5),
-                    "b1": jnp.zeros((mlp,), jnp.float32),
-                    "w2": tn(bk[3], (mlp, d), mlp**-0.5),
-                    "b2": jnp.zeros((d,), jnp.float32),
-                },
-            }
-        )
+    # Blocks are STACKED along a leading depth axis and executed with
+    # lax.scan — the trace/compile cost is one block, not `depth` blocks
+    # (a 12-24x jaxpr reduction; compiles through a slow TPU tunnel would
+    # otherwise dominate startup).
+    def make_block(bkey):
+        bk = jax.random.split(bkey, 4)
+        return {
+            "ln1": {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)},
+            "attn": {
+                "wqkv": tn(bk[0], (d, 3 * d), d**-0.5),
+                "bqkv": jnp.zeros((3 * d,), jnp.float32),
+                "wo": tn(bk[1], (d, d), d**-0.5),
+                "bo": jnp.zeros((d,), jnp.float32),
+            },
+            "ln2": {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)},
+            "mlp": {
+                "w1": tn(bk[2], (d, mlp), d**-0.5),
+                "b1": jnp.zeros((mlp,), jnp.float32),
+                "w2": tn(bk[3], (mlp, d), mlp**-0.5),
+                "b2": jnp.zeros((d,), jnp.float32),
+            },
+        }
+
+    blocks = [make_block(keys[4 + i]) for i in range(spec.depth)]
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
     return params
 
 
@@ -204,8 +208,11 @@ def encode_tokens(params: dict, x: jax.Array, spec: VitSpec) -> jax.Array:
         x = jnp.concatenate([cls, x], axis=1)
     if spec.use_pos_embed:
         x = x + params["pos_embed"].astype(dtype)[None, : x.shape[1]]
-    for bp in params["blocks"]:
-        x = _block(x, bp, spec)
+
+    def body(carry, bp):
+        return _block(carry, bp, spec), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
     return _layer_norm(x, params["ln_final"], dtype)
 
 

@@ -56,6 +56,38 @@ def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     return top * (1 - wy) + bot * wy
 
 
+def hat_weights(coords: jax.Array, size: int, dtype=jnp.float32) -> jax.Array:
+    """Bilinear interpolation as a dense matrix: W[i, r] = max(0, 1-|t_i - r|).
+
+    For clamped coords t in [0, size-1], each row has <=2 nonzeros summing to
+    1 and W @ values == linear interpolation at t. This turns arbitrary-
+    position resampling into an MXU matmul — the TPU-native alternative to
+    gathers, whose lowering is the classic TPU weak spot.
+    coords: [..., M] float sample positions. Returns [..., M, size].
+    """
+    t = jnp.clip(coords.astype(dtype), 0.0, size - 1.0)
+    r = jnp.arange(size, dtype=dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t[..., None] - r))
+
+
+def extract_window_mxu(
+    img: jax.Array, center: jax.Array, side: jax.Array, out_size: int
+) -> jax.Array:
+    """extract_window lowered to two matmuls (separable bilinear resample).
+
+    img [H, W, C] -> [out, out, C]. Cost ~ out*H*W*C + out*out*W*C MACs —
+    microseconds on the MXU — with zero gathers.
+    """
+    h, w, c = img.shape
+    t = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size - 0.5
+    wy = hat_weights(center[1] + side * t, h)  # [out, H]
+    wx = hat_weights(center[0] + side * t, w)  # [out, W]
+    a = wy @ img.reshape(h, w * c)  # [out, W*C]
+    a = a.reshape(out_size, w, c).transpose(0, 2, 1).reshape(out_size * c, w)
+    b = a @ wx.T  # [out*C, out]
+    return b.reshape(out_size, c, out_size).transpose(0, 2, 1)
+
+
 def window_grid(center: jax.Array, side: jax.Array, out_size: int) -> tuple[jax.Array, jax.Array]:
     """Sample coords (ys, xs) [out, out] of a square window in source pixels.
 
@@ -112,3 +144,25 @@ def roi_pool(
     xs2 = jnp.broadcast_to(xs[:, None, :], (n, grid, grid))
     samples = bilinear_sample(feat, ys2, xs2)  # [N, K, K, D]
     return jnp.mean(samples, axis=(1, 2))
+
+
+def roi_pool_mxu(
+    feat: jax.Array,  # [Gh, Gw, D]
+    centers: jax.Array,  # [N, 2] grid coords (x, y)
+    sizes: jax.Array,  # [N, 2] grid units (w, h)
+    grid: int,
+) -> jax.Array:
+    """roi_pool lowered to two batched matmuls via hat_weights (no gathers).
+
+    pooled[n] = mean_{k,j} sum_{r,c} Wy[n,k,r] Wx[n,j,c] feat[r,c] — the
+    bilinear ROI-align of `roi_pool`, expressed as MXU contractions.
+    """
+    gh, gw, d = feat.shape
+    t = (jnp.arange(grid, dtype=jnp.float32) + 0.5) / grid - 0.5
+    ys = centers[:, 1:2] + sizes[:, 1:2] * t[None, :]  # [N, K]
+    xs = centers[:, 0:1] + sizes[:, 0:1] * t[None, :]
+    wy = hat_weights(ys, gh)  # [N, K, Gh]
+    wx = hat_weights(xs, gw)  # [N, K, Gw]
+    a = jnp.einsum("nkr,rcd->nkcd", wy, feat.astype(jnp.float32))
+    pooled = jnp.einsum("njc,nkcd->nkjd", wx, a)
+    return jnp.mean(pooled, axis=(1, 2))

@@ -43,9 +43,9 @@ from vitparticlefiltertracker_tpu.models.vit import (
 from vitparticlefiltertracker_tpu.ops.image import (
     IMAGENET_MEAN,
     IMAGENET_STD,
-    extract_window,
+    extract_window_mxu,
     frame_to_window_coords,
-    roi_pool,
+    roi_pool_mxu,
 )
 from vitparticlefiltertracker_tpu.ops.likelihood import cosine_log_likelihood, l2_normalize
 from vitparticlefiltertracker_tpu.ops.patchify import gather_patchify
@@ -136,13 +136,13 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
     def dense_embeddings(frame_f32, center, side, boxes_xy, boxes_wh):
         """One ViT forward on the search window; ROI-pool each box.
         boxes_xy: [M, 2] frame-px centers; boxes_wh: [M, 2] frame-px sizes."""
-        window = _normalize_window(extract_window(frame_f32, center, side, s_img))
+        window = _normalize_window(extract_window_mxu(frame_f32, center, side, s_img))
         feat = vit_forward_tokens(vit_params, window[None], spec)[0]
         feat = feat.reshape(grid, grid, spec.dim)
         win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
         gxy = (win_px - (patch - 1) / 2.0) / patch  # feature-grid coords
         gwh = boxes_wh / side * s_img / patch
-        emb = roi_pool(feat, gxy, gwh, t.roi_grid)  # [M, D]
+        emb = roi_pool_mxu(feat, gxy, gwh, t.roi_grid)  # [M, D]
         in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
         return emb, in_win
 
@@ -169,6 +169,7 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
             patch,
             kern_scaled.astype(spec.dtype),
             (vit_params["patch_embed"]["bias"] - bias_shift).astype(spec.dtype),
+            region=t.crop_region,
         )
         feats = encode_tokens(vit_params, tokens, spec)
         return pool_tokens(feats, spec), jnp.ones(boxes_xy.shape[0], bool)

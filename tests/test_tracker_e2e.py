@@ -65,6 +65,17 @@ def test_tracks_synthetic_target_crop_mode():
     assert rmse < 12.0, f"RMSE {rmse}, errs {errs}"
 
 
+def test_tracks_synthetic_target_crop_window_impl():
+    """Two-stage window crop path (the Pallas kernel's semantics) tracks too."""
+    cfg = tiny_cfg(
+        tracker={"mode": "crop", "crop_size": 32, "crop_impl": "window",
+                 "window_size": 128}
+    )
+    recs, errs = run_clip(cfg)
+    rmse = float(np.sqrt(np.mean(errs**2)))
+    assert rmse < 12.0, f"RMSE {rmse}, errs {errs}"
+
+
 def test_determinism_same_seed():
     cfg = tiny_cfg()
     cfg.io.num_frames = 8

@@ -119,6 +119,13 @@ class TrackerConfig:
     search_scale: float = 4.0  # search region side = scale * sqrt(box area)
     crop_size: int = 32  # crop-mode per-particle crop resolution (px)
     crop_region: int = 64  # crop-mode static source-region bound (px)
+    # crop-mode lowering:
+    #   "frame"         — per-particle dynamic-slice regions from the raw frame
+    #   "window"        — resample ONE search window, sample crops from it (XLA)
+    #   "window-pallas" — same two-stage semantics, fused Pallas TPU kernel
+    #                     (ops/patchify_pallas.py); XLA fallback off-TPU
+    crop_impl: str = "frame"
+    window_size: int = 256  # search-window resolution for window/window-pallas
     roi_grid: int = 3  # dense mode: KxK ROI-align sample grid per box
     template_ema: float = 0.02  # template update rate (0 disables)
     template_update_conf: float = 0.5  # only update template when conf above
@@ -127,6 +134,10 @@ class TrackerConfig:
     def resolve(self) -> "TrackerConfig":
         if self.mode not in ("dense", "crop"):
             raise ValueError("tracker.mode must be 'dense' or 'crop'")
+        if self.crop_impl not in ("frame", "window", "window-pallas"):
+            raise ValueError(
+                "tracker.crop_impl must be 'frame', 'window', or 'window-pallas'"
+            )
         if self.estimate not in ("mean", "mode"):
             raise ValueError("tracker.estimate must be 'mean' or 'mode'")
         return self

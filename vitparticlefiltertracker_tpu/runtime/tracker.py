@@ -49,6 +49,10 @@ from vitparticlefiltertracker_tpu.ops.image import (
 )
 from vitparticlefiltertracker_tpu.ops.likelihood import cosine_log_likelihood, l2_normalize
 from vitparticlefiltertracker_tpu.ops.patchify import gather_patchify
+from vitparticlefiltertracker_tpu.ops.patchify_pallas import (
+    gather_patchify_window_pallas,
+    window_gather_patchify_xla,
+)
 
 
 class TrackerState(NamedTuple):
@@ -146,11 +150,10 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
         in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
         return emb, in_win
 
-    def crop_embeddings(frame_f32, boxes_xy, boxes_wh):
-        """Fused gather+patchify -> one batched ViT encoder call."""
-        # Fold pixel normalization into the patch-embed affine map:
-        # ((x - m)/s) @ K = x @ (K / s_per_channel) - ((m/s) @ K), so the
-        # crops can be sampled from the raw uint8-valued frame directly.
+    def _norm_folded_embed_weights():
+        """Fold pixel normalization into the patch-embed affine map:
+        ((x - m)/s) @ K = x @ (K / s_per_channel) - ((m/s) @ K), so crops can
+        be sampled from the raw uint8-valued frame/window directly."""
         c = 3
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
         std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
@@ -158,26 +161,49 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
         kern_scaled = (kern_f.reshape(-1, c, spec.dim) / std[None, :, None]).reshape(
             -1, spec.dim
         )
-        bias_shift = jnp.einsum(
-            "pcd,c->d", kern_f.reshape(-1, c, spec.dim), mean / std
-        )
-        tokens = gather_patchify(
-            frame_f32,
-            boxes_xy,
-            boxes_wh,  # crop extent == hypothesis box
-            t.crop_size,
-            patch,
+        bias_shift = jnp.einsum("pcd,c->d", kern_f.reshape(-1, c, spec.dim), mean / std)
+        return (
             kern_scaled.astype(spec.dtype),
             (vit_params["patch_embed"]["bias"] - bias_shift).astype(spec.dtype),
-            region=t.crop_region,
         )
+
+    def crop_embeddings(frame_f32, center, side, boxes_xy, boxes_wh):
+        """Fused gather+patchify -> one batched ViT encoder call."""
+        kern, bias = _norm_folded_embed_weights()
+        if t.crop_impl == "frame":
+            tokens = gather_patchify(
+                frame_f32,
+                boxes_xy,
+                boxes_wh,  # crop extent == hypothesis box
+                t.crop_size,
+                patch,
+                kern,
+                bias,
+                region=t.crop_region,
+            )
+        else:
+            # Two-stage: resample ONE search window (VMEM-scale at any frame
+            # resolution), then sample all particle crops from it. The Pallas
+            # kernel fuses sampling + patchify + embed (ops/patchify_pallas.py).
+            swin = t.window_size
+            window = extract_window_mxu(frame_f32, center, side, swin)
+            ctr_win = frame_to_window_coords(boxes_xy, center, side, swin)
+            wh_win = boxes_wh * (swin / side)
+            if t.crop_impl == "window-pallas" and jax.default_backend() == "tpu":
+                tokens = gather_patchify_window_pallas(
+                    window, ctr_win, wh_win, t.crop_size, patch, kern, bias
+                )
+            else:
+                tokens = window_gather_patchify_xla(
+                    window, ctr_win, wh_win, t.crop_size, patch, kern, bias
+                )
         feats = encode_tokens(vit_params, tokens, spec)
         return pool_tokens(feats, spec), jnp.ones(boxes_xy.shape[0], bool)
 
     def embeddings(frame_f32, center, side, boxes_xy, boxes_wh):
         if mode == "dense":
             return dense_embeddings(frame_f32, center, side, boxes_xy, boxes_wh)
-        return crop_embeddings(frame_f32, boxes_xy, boxes_wh)
+        return crop_embeddings(frame_f32, center, side, boxes_xy, boxes_wh)
 
     # ---- init -------------------------------------------------------------
     def init_fn(frame_u8: jax.Array, bbox: jax.Array, seed: jax.Array) -> TrackerState:

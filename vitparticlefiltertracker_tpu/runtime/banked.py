@@ -30,15 +30,18 @@ from vitparticlefiltertracker_tpu.runtime.tracker import (
 )
 
 
-def build_banked_fns(cfg: Config, vit_params):
+def build_banked_fns(cfg: Config):
     """(init, step) over banked state: leading axis K on every state leaf.
 
-    init(frame, bboxes [K,4], seeds [K]) -> BankedState
-    step(state, frame) -> (BankedState, TrackOutput[K])
+    init(params, frame, bboxes [K,4], seeds [K]) -> BankedState
+    step(params, state, frame) -> (BankedState, TrackOutput[K])
+
+    ViT params broadcast across banks (in_axes=None) — one weight copy in
+    HBM serves all K filters; vmap batches the K ViT forwards into one.
     """
-    fns = build_tracker_fns(cfg, vit_params)
-    init_b = jax.vmap(fns.init, in_axes=(None, 0, 0))
-    step_b = jax.vmap(fns.step, in_axes=(0, None))
+    fns = build_tracker_fns(cfg)
+    init_b = jax.vmap(fns.init, in_axes=(None, None, 0, 0))
+    step_b = jax.vmap(fns.step, in_axes=(None, 0, None))
     return init_b, step_b
 
 
@@ -61,8 +64,7 @@ class MultiTracker:
             if cfg.tracker.mode == "crop":
                 spec = spec._replace(image_size=cfg.tracker.crop_size)
             vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
-        self.vit_params = vit_params
-        init_b, step_b = build_banked_fns(cfg, vit_params)
+        init_b, step_b = build_banked_fns(cfg)
 
         r = cfg.runtime
         if mesh is None and r.mesh_banks * r.mesh_particles > 1:
@@ -70,36 +72,41 @@ class MultiTracker:
         self.mesh = mesh
 
         if mesh is not None:
+            # Weights replicated across the mesh; state sharded after init.
+            self.vit_params = jax.device_put(vit_params, replicated(mesh))
             self._init_jit = jax.jit(init_b)  # sharding applied post-init
             self._step_jit = None  # built lazily once state sharding is known
             self._step_b = step_b
         else:
+            self.vit_params = jax.device_put(vit_params)
             self._init_jit = jax.jit(init_b)
-            self._step_jit = jax.jit(step_b, donate_argnums=(0,))
+            self._step_jit = jax.jit(step_b, donate_argnums=(1,))
         self.state = None
 
     def init(self, frame: np.ndarray, bboxes) -> None:
         bboxes = jnp.asarray(np.asarray(bboxes, np.float32)).reshape(self.banks, 4)
         seeds = jnp.arange(self.banks, dtype=jnp.int32) + jnp.int32(self.cfg.filter.seed)
-        state = self._init_jit(jnp.asarray(frame), bboxes, seeds)
+        state = self._init_jit(self.vit_params, jnp.asarray(frame), bboxes, seeds)
         if self.mesh is not None:
             shardings = banked_state_sharding(self.mesh, state)
             state = jax.device_put(state, shardings)
             if self._step_jit is None:
                 # Pin the output state to the same layout as the input state
                 # so step N+1's in_shardings match and donation is in-place.
+                rep = replicated(self.mesh)
+                param_sh = jax.tree.map(lambda _: rep, self.vit_params)
                 self._step_jit = jax.jit(
                     self._step_b,
-                    in_shardings=(shardings, replicated(self.mesh)),
+                    in_shardings=(param_sh, shardings, rep),
                     out_shardings=(shardings, None),
-                    donate_argnums=(0,),
+                    donate_argnums=(1,),
                 )
         self.state = state
 
     def step(self, frame: np.ndarray) -> list[dict[str, Any]]:
         assert self.state is not None, "call init() first"
         t0 = time.perf_counter()
-        self.state, out = self._step_jit(self.state, jnp.asarray(frame))
+        self.state, out = self._step_jit(self.vit_params, self.state, jnp.asarray(frame))
         ms = (time.perf_counter() - t0) * 1e3
         pos = np.asarray(out.position)
         box = np.asarray(out.box)
@@ -122,5 +129,5 @@ class MultiTracker:
         ]
 
     def step_device(self, frame_dev: jax.Array):
-        self.state, out = self._step_jit(self.state, frame_dev)
+        self.state, out = self._step_jit(self.vit_params, self.state, frame_dev)
         return out

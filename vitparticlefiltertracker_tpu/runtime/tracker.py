@@ -114,9 +114,20 @@ class _Fns(NamedTuple):
     step: Any
 
 
-def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
+def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
     """Build (init_fn, step_fn), both pure and jittable, closing over config
-    statics and ViT weights. step donates TrackerState."""
+    statics only. ViT weights are an explicit first argument of both fns —
+    NOT a closure constant — so they enter the compiled program as a runtime
+    parameter (one H2D transfer, shardable, donation-friendly) instead of
+    being baked into the HLO as hundreds of MB of literals (which bloats
+    compile time and overflows this rig's remote-compile relay).
+
+    init(params, frame, bbox, seed) -> TrackerState
+    step(params, state, frame) -> (TrackerState, TrackOutput)
+
+    The optional vit_params argument is only used for weight-dtype-agnostic
+    setup and is not captured.
+    """
     spec = VitSpec.from_config(cfg.model)
     pfp = _pf_params(cfg)
     n = cfg.filter.num_particles
@@ -137,11 +148,11 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
         spec = spec._replace(use_pos_embed=False)
 
     # ---- appearance embedding -------------------------------------------
-    def dense_embeddings(frame_f32, center, side, boxes_xy, boxes_wh):
+    def dense_embeddings(prm, frame_f32, center, side, boxes_xy, boxes_wh):
         """One ViT forward on the search window; ROI-pool each box.
         boxes_xy: [M, 2] frame-px centers; boxes_wh: [M, 2] frame-px sizes."""
         window = _normalize_window(extract_window_mxu(frame_f32, center, side, s_img))
-        feat = vit_forward_tokens(vit_params, window[None], spec)[0]
+        feat = vit_forward_tokens(prm, window[None], spec)[0]
         feat = feat.reshape(grid, grid, spec.dim)
         win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
         gxy = (win_px - (patch - 1) / 2.0) / patch  # feature-grid coords
@@ -150,26 +161,26 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
         in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
         return emb, in_win
 
-    def _norm_folded_embed_weights():
+    def _norm_folded_embed_weights(prm):
         """Fold pixel normalization into the patch-embed affine map:
         ((x - m)/s) @ K = x @ (K / s_per_channel) - ((m/s) @ K), so crops can
         be sampled from the raw uint8-valued frame/window directly."""
         c = 3
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
         std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
-        kern_f = vit_params["patch_embed"]["kernel"]  # [p*p*3, D] f32
+        kern_f = prm["patch_embed"]["kernel"]  # [p*p*3, D] f32
         kern_scaled = (kern_f.reshape(-1, c, spec.dim) / std[None, :, None]).reshape(
             -1, spec.dim
         )
         bias_shift = jnp.einsum("pcd,c->d", kern_f.reshape(-1, c, spec.dim), mean / std)
         return (
             kern_scaled.astype(spec.dtype),
-            (vit_params["patch_embed"]["bias"] - bias_shift).astype(spec.dtype),
+            (prm["patch_embed"]["bias"] - bias_shift).astype(spec.dtype),
         )
 
-    def crop_embeddings(frame_f32, center, side, boxes_xy, boxes_wh):
+    def crop_embeddings(prm, frame_f32, center, side, boxes_xy, boxes_wh):
         """Fused gather+patchify -> one batched ViT encoder call."""
-        kern, bias = _norm_folded_embed_weights()
+        kern, bias = _norm_folded_embed_weights(prm)
         if t.crop_impl == "frame":
             tokens = gather_patchify(
                 frame_f32,
@@ -197,16 +208,16 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
                 tokens = window_gather_patchify_xla(
                     window, ctr_win, wh_win, t.crop_size, patch, kern, bias
                 )
-        feats = encode_tokens(vit_params, tokens, spec)
+        feats = encode_tokens(prm, tokens, spec)
         return pool_tokens(feats, spec), jnp.ones(boxes_xy.shape[0], bool)
 
-    def embeddings(frame_f32, center, side, boxes_xy, boxes_wh):
+    def embeddings(prm, frame_f32, center, side, boxes_xy, boxes_wh):
         if mode == "dense":
-            return dense_embeddings(frame_f32, center, side, boxes_xy, boxes_wh)
-        return crop_embeddings(frame_f32, center, side, boxes_xy, boxes_wh)
+            return dense_embeddings(prm, frame_f32, center, side, boxes_xy, boxes_wh)
+        return crop_embeddings(prm, frame_f32, center, side, boxes_xy, boxes_wh)
 
     # ---- init -------------------------------------------------------------
-    def init_fn(frame_u8: jax.Array, bbox: jax.Array, seed: jax.Array) -> TrackerState:
+    def init_fn(prm, frame_u8: jax.Array, bbox: jax.Array, seed: jax.Array) -> TrackerState:
         """bbox: [4] (x, y, w, h) frame px; seed: int32 scalar (traced, so the
         banked tracker can vmap over per-bank seeds). Template + cloud init."""
         key = jax.random.key(seed)
@@ -214,7 +225,7 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
         center = bbox[:2] + bbox[2:] / 2.0
         box_wh = bbox[2:]
         side = _window_side(box_wh, jnp.float32(1.0), t.search_scale)
-        emb, _ = embeddings(frame_f32, center, side, center[None], box_wh[None])
+        emb, _ = embeddings(prm, frame_f32, center, side, center[None], box_wh[None])
         template = l2_normalize(emb[0].astype(jnp.float32))
         pf = init_state(jax.random.fold_in(key, 0xFFFFFFFF), center, n, pfp)
         return TrackerState(
@@ -230,7 +241,7 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
         )
 
     # ---- step -------------------------------------------------------------
-    def step_fn(state: TrackerState, frame_u8: jax.Array):
+    def step_fn(prm, state: TrackerState, frame_u8: jax.Array):
         frame_f32 = frame_u8.astype(jnp.float32)
         noise = draw_step_noise(jax.random.fold_in(state.key, state.frame_idx), n)
         particles = propagate(state.pf.particles, noise, pfp.motion)
@@ -238,7 +249,7 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
         side = _window_side(state.box_wh, state.prev_scale, t.search_scale)
         boxes_xy = particles[:, 0:2]
         boxes_wh = state.box_wh[None, :] * jnp.exp(particles[:, 4:5])
-        emb, in_win = embeddings(frame_f32, state.center, side, boxes_xy, boxes_wh)
+        emb, in_win = embeddings(prm, frame_f32, state.center, side, boxes_xy, boxes_wh)
         loglik, cos = cosine_log_likelihood(emb, state.template, temp)
         loglik = jnp.where(in_win, loglik, loglik - 1e4)
 
@@ -253,7 +264,7 @@ def build_tracker_fns(cfg: Config, vit_params) -> _Fns:
         # confidence so occlusions don't poison the template.
         if ema > 0.0:
             est_emb, _ = embeddings(
-                frame_f32, state.center, side, est_xy[None],
+                prm, frame_f32, state.center, side, est_xy[None],
                 (state.box_wh * est_scale)[None],
             )
             cand = l2_normalize(
@@ -310,30 +321,32 @@ class Tracker:
             from vitparticlefiltertracker_tpu.models.params import load_or_init
 
             vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
-        self.vit_params = vit_params
-        fns = build_tracker_fns(cfg, vit_params)
+        # Weights live on device as jit ARGUMENTS (one H2D), never as
+        # closure constants baked into the HLO (see build_tracker_fns).
+        self.vit_params = jax.device_put(vit_params)
+        fns = build_tracker_fns(cfg)
         self._init_jit = jax.jit(fns.init)
-        self._step_jit = jax.jit(fns.step, donate_argnums=(0,))
+        self._step_jit = jax.jit(fns.step, donate_argnums=(1,))
         self.state: TrackerState | None = None
 
     # -- lifecycle -----------------------------------------------------------
     def init(self, frame: np.ndarray, bbox) -> None:
         bbox = jnp.asarray(np.asarray(bbox, np.float32))
         seed = jnp.int32(self.cfg.filter.seed)
-        self.state = self._init_jit(jnp.asarray(frame), bbox, seed)
+        self.state = self._init_jit(self.vit_params, jnp.asarray(frame), bbox, seed)
 
     def step(self, frame: np.ndarray) -> dict[str, Any]:
         """Track one frame; returns a host-side record (the one D2H)."""
         assert self.state is not None, "call init() first"
         t0 = time.perf_counter()
-        self.state, out = self._step_jit(self.state, jnp.asarray(frame))
+        self.state, out = self._step_jit(self.vit_params, self.state, jnp.asarray(frame))
         rec = self._to_record(out)
         rec["step_ms"] = (time.perf_counter() - t0) * 1e3
         return rec
 
     def step_device(self, frame_dev: jax.Array) -> TrackOutput:
         """Device-native step: no host sync (for streaming/bench loops)."""
-        self.state, out = self._step_jit(self.state, frame_dev)
+        self.state, out = self._step_jit(self.vit_params, self.state, frame_dev)
         return out
 
     @staticmethod

@@ -45,6 +45,8 @@ def main() -> int:
         "vs_baseline": round(result["fps"] / target_fps, 3),
         "p50_ms": round(result["p50_ms"], 3),
         "p99_ms": round(result["p99_ms"], 3),
+        "rtt_ms": round(result["rtt_ms"], 3),
+        "p50_device_ms": round(result["p50_device_ms"], 3),
         "backend": result["config"]["backend"],
     }
     print(json.dumps(out))

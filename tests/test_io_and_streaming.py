@@ -1,0 +1,174 @@
+"""I/O subsystem + streaming pipeline tests.
+
+Covers SURVEY.md §5.2 (the one concurrent component — decode thread feeding
+a bounded queue — gets a stress test), §5.6 (all committed config files must
+load), B13 sinks, and the B3 source dispatcher.
+"""
+
+import glob
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from vitparticlefiltertracker_tpu.config import load_config
+from vitparticlefiltertracker_tpu.io.sink import JsonlSink
+from vitparticlefiltertracker_tpu.io.video import open_source
+from vitparticlefiltertracker_tpu.runtime.streaming import FramePump, stream_track
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------------------
+# Config files
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "path", sorted(glob.glob(os.path.join(REPO, "configs", "*.yaml")))
+)
+def test_committed_configs_load(path):
+    cfg = load_config(path)
+    assert cfg.filter.num_particles > 0
+    assert cfg.model.dim % cfg.model.heads == 0
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name", ["moving-square", "occlusion", "needle", "surveillance"]
+)
+def test_synthetic_sources(name):
+    src = open_source(f"synthetic:{name}", num_frames=6, frame_size=(120, 160))
+    frames = list(src)
+    assert len(frames) == 6
+    assert frames[0].shape == (120, 160, 3) and frames[0].dtype == np.uint8
+    assert src.truth.shape == (6, 2)
+    assert src.init_bbox.shape == (4,)
+
+
+def test_image_sequence_source(tmp_path):
+    import imageio.v3 as iio
+
+    for i in range(4):
+        iio.imwrite(
+            tmp_path / f"f{i:03d}.png",
+            np.full((32, 48, 3), i * 20, np.uint8),
+        )
+    src = open_source(str(tmp_path / "*.png"))
+    frames = list(src)
+    assert len(frames) == 4
+    assert frames[2][0, 0, 0] == 40  # sorted order preserved
+
+
+def test_unknown_source_rejected():
+    with pytest.raises(ValueError, match="cannot infer source type"):
+        open_source("not-a-real-thing.xyz")
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+def test_jsonl_sink_roundtrip(tmp_path):
+    path = str(tmp_path / "out.jsonl")
+    with JsonlSink(path) as sink:
+        sink.write({"frame": 0, "position": [np.float32(1.5), 2.0],
+                    "resampled": np.bool_(True)})
+    rec = json.loads(open(path).read())
+    assert rec["position"][0] == 1.5 and rec["resampled"] is True
+
+
+# ---------------------------------------------------------------------------
+# FramePump stress (SURVEY.md §5.2): bounded queue under a fast producer and
+# a slow, bursty consumer; error propagation; completion.
+# ---------------------------------------------------------------------------
+
+def test_frame_pump_order_and_completion():
+    frames = [np.full((4, 4, 3), i, np.uint8) for i in range(200)]
+    pump = FramePump(iter(frames), depth=3)
+    got = [int(f[0, 0, 0]) for f in pump]
+    assert got == list(range(200))
+
+
+def test_frame_pump_backpressure_bounds_memory():
+    produced = []
+
+    def gen():
+        for i in range(50):
+            produced.append(i)
+            yield np.full((2, 2, 3), i, np.uint8)
+
+    pump = FramePump(gen(), depth=2)
+    time.sleep(0.2)  # producer must stall at the bound, not run ahead
+    assert len(produced) <= 4  # depth + in-flight put + one being generated
+    list(pump)
+    assert len(produced) == 50
+
+
+def test_frame_pump_error_propagates():
+    def gen():
+        yield np.zeros((2, 2, 3), np.uint8)
+        raise RuntimeError("decode failed")
+
+    pump = FramePump(gen(), depth=2)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(pump)
+
+
+def test_frame_pump_concurrent_consumers_race():
+    """Two consumers draining one pump must partition the stream exactly
+    (queue semantics — no duplicates, no losses)."""
+    n = 300
+    pump = FramePump((np.full((2, 2, 3), i % 251, np.uint8) for i in range(n)), depth=4)
+    it = iter(pump)
+    seen = []
+    lock = threading.Lock()
+
+    def consume():
+        while True:
+            try:
+                f = next(it)
+            except StopIteration:
+                return
+            with lock:
+                seen.append(int(f[0, 0, 0]))
+
+    threads = [threading.Thread(target=consume) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    want = [i % 251 for i in range(n)]
+    assert sorted(seen) == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# stream_track end-to-end on the tiny tracker
+# ---------------------------------------------------------------------------
+
+def test_stream_track_end_to_end():
+    from vitparticlefiltertracker_tpu.config import Config
+    from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+
+    cfg = Config.from_dict(
+        {
+            "model": {"variant": "vit-t16", "image_size": 64, "dtype": "float32",
+                      "use_flash_attention": False},
+            "filter": {"num_particles": 64},
+            "tracker": {"mode": "dense"},
+        }
+    )
+    src = open_source("synthetic:moving-square", num_frames=10, frame_size=(128, 128))
+    tracker = Tracker(cfg)
+    recs = []
+    stats = stream_track(
+        tracker, src, src.init_bbox, on_record=recs.append, readback_window=3
+    )
+    assert stats["frames"] == 9
+    assert [r["frame"] for r in recs] == list(range(1, 10))  # ordered, complete
+    assert all(np.isfinite(r["position"]).all() for r in recs)

@@ -20,7 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="vpt", description="TPU-native ViT + particle-filter tracker"
     )
-    p.add_argument("command", nargs="?", default="track", choices=["track", "bench"])
+    p.add_argument(
+        "command", nargs="?", default="track", choices=["track", "bench", "stream"]
+    )
     p.add_argument("--config", "-c", default="", help="path to config.yaml")
     p.add_argument(
         "--set",
@@ -97,6 +99,45 @@ def cmd_bench(cfg: Config, quiet: bool = False) -> int:
     return 0
 
 
+def cmd_stream(cfg: Config, quiet: bool = False) -> int:
+    """Fused decode->track pipeline (B12): producer thread + async H2D."""
+    from vitparticlefiltertracker_tpu.io.sink import JsonlSink
+    from vitparticlefiltertracker_tpu.io.video import open_source
+    from vitparticlefiltertracker_tpu.runtime.streaming import stream_track
+
+    source = open_source(
+        cfg.io.source,
+        num_frames=cfg.io.num_frames,
+        frame_size=tuple(cfg.io.frame_size),
+        seed=cfg.filter.seed,
+    )
+    init_bbox = getattr(source, "init_bbox", None)
+    if init_bbox is None:
+        init_bbox = cfg.io.init_bbox
+    if cfg.runtime.banks > 1:
+        from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+
+        tracker = MultiTracker(cfg)
+        init_bbox = np.tile(np.asarray(init_bbox, np.float32), (cfg.runtime.banks, 1))
+    else:
+        from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+
+        tracker = Tracker(cfg)
+    sink = JsonlSink(cfg.io.output)
+    stats = stream_track(
+        tracker, source, init_bbox, on_record=sink.write,
+        pump_depth=cfg.runtime.prefetch_frames,
+    )
+    sink.close()
+    if not quiet:
+        print(
+            f"streamed {stats['frames']} frames in {stats['wall_s']:.2f}s "
+            f"({stats['fps']:.1f} fps)",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def main(argv=None) -> int:
     from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
 
@@ -105,6 +146,8 @@ def main(argv=None) -> int:
     cfg = load(args)
     if args.command == "bench":
         return cmd_bench(cfg, args.quiet)
+    if args.command == "stream":
+        return cmd_stream(cfg, args.quiet)
     return cmd_track(cfg, args.quiet)
 
 

@@ -73,8 +73,8 @@ class ModelConfig:
 class MotionConfig:
     """Gaussian constant-velocity motion model (BASELINE.json:5)."""
 
-    sigma_pos: float = 4.0  # px/frame position diffusion
-    sigma_vel: float = 1.0  # px/frame^2 velocity diffusion
+    sigma_pos: float = 6.0  # px/frame position diffusion
+    sigma_vel: float = 1.5  # px/frame^2 velocity diffusion
     sigma_scale: float = 0.0  # log-scale diffusion (0 => fixed box size)
     vel_decay: float = 0.95  # velocity damping toward 0 (keeps filter stable)
 
@@ -85,7 +85,15 @@ class FilterConfig:
 
     num_particles: int = 1024
     motion: MotionConfig = field(default_factory=MotionConfig)
-    likelihood_temp: float = 20.0  # logits = temp * cosine_similarity
+    # Appearance likelihood family (ops/likelihood.py):
+    #   "zcos" — logits = zscale * zscore_over_particles(cosine). Posterior
+    #            entropy is pinned regardless of embedding statistics (random
+    #            vs trained ViT features), so the appearance/motion balance
+    #            never degenerates to prior-following. Default.
+    #   "cos"  — logits = temp * cosine (classic fixed-temperature form).
+    likelihood: str = "zcos"
+    likelihood_temp: float = 20.0  # "cos": logits = temp * cosine
+    likelihood_zscale: float = 3.0  # "zcos": log-weight spread in std units
     ess_threshold: float = 0.5  # resample when ESS < threshold * N
     init_sigma_pos: float = 2.0  # initial cloud spread around the bbox
     init_sigma_vel: float = 1.0
@@ -95,6 +103,8 @@ class FilterConfig:
     def resolve(self) -> "FilterConfig":
         if self.num_particles <= 0:
             raise ValueError("filter.num_particles must be positive")
+        if self.likelihood not in ("zcos", "cos"):
+            raise ValueError("filter.likelihood must be 'zcos' or 'cos'")
         if not 0.0 <= self.ess_threshold <= 1.0:
             raise ValueError("filter.ess_threshold must be in [0, 1]")
         return self
@@ -127,6 +137,11 @@ class TrackerConfig:
     crop_impl: str = "frame"
     window_size: int = 256  # search-window resolution for window/window-pallas
     roi_grid: int = 3  # dense mode: KxK ROI-align sample grid per box
+    # Dense mode: subtract the window-mean token embedding from every ROI
+    # embedding (and the template) before cosine comparison. Mean-pooled ViT
+    # features share a large global-context component that compresses all
+    # cosines toward 1; centering restores appearance contrast (one VPU op).
+    center_features: bool = True
     template_ema: float = 0.02  # template update rate (0 disables)
     template_update_conf: float = 0.5  # only update template when conf above
     estimate: str = "mean"  # "mean" | "mode" (highest-weight particle)

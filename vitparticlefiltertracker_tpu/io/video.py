@@ -93,6 +93,37 @@ class VideoFileSource:
         return self.num_frames or self._len
 
 
+class CameraSource:
+    """Live camera feed (`camera:<index>`) via OpenCV — the reference's
+    "video feed" input (/root/reference/README.md:42)."""
+
+    def __init__(self, index: int, num_frames: int = 0):
+        self.index = index
+        self.num_frames = num_frames
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        import cv2
+
+        cap = cv2.VideoCapture(self.index)
+        if not cap.isOpened():
+            raise RuntimeError(f"cannot open camera {self.index}")
+        try:
+            count = 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    return
+                yield np.ascontiguousarray(frame[..., ::-1])  # BGR -> RGB
+                count += 1
+                if self.num_frames and count >= self.num_frames:
+                    return
+        finally:
+            cap.release()
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+
 def open_source(
     source: str,
     num_frames: int = 0,
@@ -100,6 +131,8 @@ def open_source(
     seed: int = 0,
 ):
     """Dispatch on the config's io.source string."""
+    if source.startswith("camera:"):
+        return CameraSource(int(source.split(":", 1)[1]), num_frames)
     if source.startswith("synthetic:"):
         name = synthetic.parse_synthetic_source(source)
         return SyntheticSource(

@@ -29,3 +29,42 @@ def cosine_log_likelihood(
     emb = l2_normalize(embeddings.astype(jnp.float32))
     cos = emb @ template.astype(jnp.float32)
     return temperature * cos, cos
+
+
+def znormed_log_likelihood(
+    embeddings: jax.Array,  # [N, D]
+    template: jax.Array,  # [D] (assumed L2-normalized)
+    temperature: float,
+    eps: float = 1e-6,
+) -> tuple[jax.Array, jax.Array]:
+    """Self-normalizing likelihood: temperature * zscore_over_particles(cos).
+
+    Raw cosine spreads depend on the feature statistics (a random-init ViT
+    yields cosines clustered in ~[0.95, 1.0]; a trained one spreads wider).
+    With a fixed temperature the posterior entropy therefore swings between
+    "uniform" (filter ignores appearance, follows the motion prior and lags)
+    and "collapsed". Z-scoring the cosines across the particle set pins the
+    log-weight SPREAD to `temperature` standard deviations every frame, so
+    the filter's appearance/motion balance is invariant to the embedding
+    scale. All ops are vectorized reductions — nothing leaves the device.
+    """
+    emb = l2_normalize(embeddings.astype(jnp.float32))
+    cos = emb @ template.astype(jnp.float32)
+    mu = jnp.mean(cos)
+    sd = jnp.std(cos)
+    z = (cos - mu) / (sd + eps)
+    return temperature * z, cos
+
+
+def center_embeddings(
+    embeddings: jax.Array,  # [..., M, D]
+    mean_emb: jax.Array,  # [..., D] shared-context embedding to remove
+) -> jax.Array:
+    """Subtract a context-mean embedding before cosine comparison.
+
+    ROI/crop embeddings from one frame share a large common component (global
+    image statistics dominate mean-pooled ViT features), which compresses all
+    pairwise cosines toward 1 and buries the discriminative signal. Removing
+    the window-mean embedding is a one-op whitening that restores contrast.
+    """
+    return embeddings - mean_emb[..., None, :]

@@ -47,7 +47,11 @@ from vitparticlefiltertracker_tpu.ops.image import (
     frame_to_window_coords,
     roi_pool_mxu,
 )
-from vitparticlefiltertracker_tpu.ops.likelihood import cosine_log_likelihood, l2_normalize
+from vitparticlefiltertracker_tpu.ops.likelihood import (
+    cosine_log_likelihood,
+    l2_normalize,
+    znormed_log_likelihood,
+)
 from vitparticlefiltertracker_tpu.ops.patchify import gather_patchify
 from vitparticlefiltertracker_tpu.ops.patchify_pallas import (
     gather_patchify_window_pallas,
@@ -132,6 +136,8 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
     pfp = _pf_params(cfg)
     n = cfg.filter.num_particles
     temp = cfg.filter.likelihood_temp
+    zscale = cfg.filter.likelihood_zscale
+    use_znorm = cfg.filter.likelihood == "zcos"
     lost_thresh = cfg.filter.lost_conf_threshold
     t = cfg.tracker
     mode = t.mode
@@ -158,6 +164,12 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
         gxy = (win_px - (patch - 1) / 2.0) / patch  # feature-grid coords
         gwh = boxes_wh / side * s_img / patch
         emb = roi_pool_mxu(feat, gxy, gwh, t.roi_grid)  # [M, D]
+        if t.center_features:
+            # Remove the window's shared-context component (see
+            # ops/likelihood.py:center_embeddings) — template and particles
+            # are centered by the same window mean, so cosines compare
+            # appearance, not global image statistics.
+            emb = emb - jnp.mean(feat.reshape(-1, spec.dim), axis=0)[None, :]
         in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
         return emb, in_win
 
@@ -250,7 +262,10 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
         boxes_xy = particles[:, 0:2]
         boxes_wh = state.box_wh[None, :] * jnp.exp(particles[:, 4:5])
         emb, in_win = embeddings(prm, frame_f32, state.center, side, boxes_xy, boxes_wh)
-        loglik, cos = cosine_log_likelihood(emb, state.template, temp)
+        if use_znorm:
+            loglik, cos = znormed_log_likelihood(emb, state.template, zscale)
+        else:
+            loglik, cos = cosine_log_likelihood(emb, state.template, temp)
         loglik = jnp.where(in_win, loglik, loglik - 1e4)
 
         out = pf_update(particles, state.pf.log_weights, loglik, noise.resample_u, pfp)

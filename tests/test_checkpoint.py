@@ -1,0 +1,103 @@
+"""Checkpoint/resume (SURVEY.md §5.4): ViT weights and TrackerState.
+
+The RNG is counter-based (key + frame_idx), so resuming a checkpointed
+stream must reproduce the uninterrupted trajectory bitwise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.io.video import open_source
+from vitparticlefiltertracker_tpu.models.params import load_or_init, load_params, save_params
+from vitparticlefiltertracker_tpu.models.vit import VitSpec, vit_embed
+from vitparticlefiltertracker_tpu.runtime.tracker import (
+    Tracker,
+    load_tracker_state,
+    save_tracker_state,
+)
+
+
+def tiny_cfg():
+    return Config.from_dict(
+        {
+            "model": {"variant": "vit-t16", "image_size": 64, "dtype": "float32",
+                      "use_flash_attention": False},
+            "filter": {"num_particles": 128},
+            "tracker": {"mode": "dense"},
+        }
+    )
+
+
+def test_params_npz_roundtrip(tmp_path):
+    spec = VitSpec(depth=2, dim=64, heads=2, mlp_dim=128, image_size=32,
+                   dtype=jnp.float32, use_flash_attention=False)
+    params = load_or_init("", spec, seed=3)
+    path = str(tmp_path / "vit.npz")
+    save_params(path, params)
+    loaded = load_params(path)
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(vit_embed(params, x, spec)), np.asarray(vit_embed(loaded, x, spec))
+    )
+
+
+def test_tracker_checkpoint_used_via_config(tmp_path):
+    """model.checkpoint in config.yaml loads the saved weights (B1/§5.4)."""
+    cfg = tiny_cfg()
+    spec = VitSpec.from_config(cfg.model)
+    params = load_or_init("", spec, seed=9)
+    path = str(tmp_path / "w.npz")
+    save_params(path, params)
+    cfg.model.checkpoint = path
+    tr = Tracker(cfg)  # must load from the checkpoint without error
+    np.testing.assert_array_equal(
+        np.asarray(tr.vit_params["patch_embed"]["kernel"]),
+        np.asarray(params["patch_embed"]["kernel"]),
+    )
+
+
+def test_state_resume_bitwise_identical(tmp_path):
+    cfg = tiny_cfg()
+    src = open_source("synthetic:moving-square", num_frames=12, frame_size=(128, 128))
+    frames = list(src)
+
+    # Uninterrupted run.
+    tr_a = Tracker(cfg)
+    tr_a.init(frames[0], src.init_bbox)
+    recs_a = [tr_a.step(f) for f in frames[1:]]
+
+    # Run 5 frames, checkpoint, resume in a FRESH tracker, run the rest.
+    tr_b = Tracker(cfg)
+    tr_b.init(frames[0], src.init_bbox)
+    for f in frames[1:6]:
+        tr_b.step(f)
+    ckpt = str(tmp_path / "state.npz")
+    tr_b.save(ckpt)
+
+    tr_c = Tracker(cfg)
+    tr_c.resume(ckpt)
+    recs_c = [tr_c.step(f) for f in frames[6:]]
+
+    for ra, rc in zip(recs_a[5:], recs_c):
+        np.testing.assert_array_equal(ra["position"], rc["position"])
+        assert ra["resampled"] == rc["resampled"]
+        np.testing.assert_array_equal(ra["ess"], rc["ess"])
+
+
+def test_state_roundtrip_preserves_pytree(tmp_path):
+    cfg = tiny_cfg()
+    src = open_source("synthetic:moving-square", num_frames=3, frame_size=(128, 128))
+    frames = list(src)
+    tr = Tracker(cfg)
+    tr.init(frames[0], src.init_bbox)
+    tr.step(frames[1])
+    path = str(tmp_path / "s.npz")
+    save_tracker_state(path, tr.state)
+    loaded = load_tracker_state(path)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr.state._replace(key=jax.random.key_data(tr.state.key))),
+        jax.tree_util.tree_leaves(loaded._replace(key=jax.random.key_data(loaded.key))),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

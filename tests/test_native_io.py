@@ -1,0 +1,103 @@
+"""Native (C++) frame-ingestion runtime tests (native/vpt_io.cpp via ctypes).
+
+Gated on the shared library building in this environment; the library is the
+host half of the fused decode->track pipeline (B12) — a GIL-free producer
+thread filling a bounded prefetch ring.
+"""
+
+import numpy as np
+import pytest
+
+from vitparticlefiltertracker_tpu.io import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+def test_synthetic_stream_order_and_shape():
+    src = native.NativeSyntheticSource(12, 120, 160, seed=7)
+    frames = list(src)
+    assert len(frames) == 12
+    assert frames[0].shape == (120, 160, 3) and frames[0].dtype == np.uint8
+    # Frames differ over time (the target moves).
+    assert not np.array_equal(frames[0], frames[-1])
+    src.close()
+
+
+def test_synthetic_stream_matches_random_access():
+    src = native.NativeSyntheticSource(8, 96, 128, seed=3)
+    direct = [src.read(i) for i in range(8)]
+    streamed = list(src)
+    for a, b in zip(direct, streamed):
+        np.testing.assert_array_equal(a, b)
+    src.close()
+
+
+def test_synthetic_truth_and_bbox():
+    src = native.NativeSyntheticSource(10, 224, 224, seed=0)
+    truth = src.truth
+    assert truth.shape == (10, 2)
+    # Target moves right at ~2px/frame (io/synthetic.py motion model).
+    assert truth[-1, 0] > truth[0, 0]
+    bbox = src.init_bbox
+    np.testing.assert_allclose(bbox[:2] + bbox[2:] / 2, truth[0], atol=0.51)
+    # The painted target actually sits at the ground-truth location.
+    f0 = src.read(0)
+    cx, cy = int(truth[0, 0]), int(truth[0, 1])
+    center_px = f0[cy, cx].astype(np.int32)
+    corner_px = f0[5, 5].astype(np.int32)
+    assert center_px[0] > 200  # bright warm core (R=40+215)
+    assert abs(int(center_px[0]) - int(corner_px[0])) > 30
+    src.close()
+
+
+def test_raw_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    clip = rng.integers(0, 255, size=(5, 64, 48, 3), dtype=np.uint8)
+    path = str(tmp_path / "clip.rgb24")
+    with open(path, "wb") as f:
+        f.write(clip.tobytes())
+    src = native.NativeRawSource(path, 64, 48)
+    assert len(src) == 5
+    got = list(src)
+    for i in range(5):
+        np.testing.assert_array_equal(got[i], clip[i])
+    src.close()
+
+
+def test_raw_truncates_to_num_frames(tmp_path):
+    clip = np.zeros((6, 8, 8, 3), np.uint8)
+    path = str(tmp_path / "c.rgb24")
+    with open(path, "wb") as f:
+        f.write(clip.tobytes())
+    src = native.NativeRawSource(path, 8, 8, num_frames=4)
+    assert len(src) == 4
+    assert len(list(src)) == 4
+    src.close()
+
+
+def test_open_source_dispatches_native(tmp_path):
+    from vitparticlefiltertracker_tpu.io.video import open_source
+
+    src = open_source("native-synthetic:moving-square", 5, (64, 64), seed=1)
+    assert len(list(src)) == 5
+
+    clip = np.zeros((3, 32, 32, 3), np.uint8)
+    path = str(tmp_path / "x.rgb24")
+    with open(path, "wb") as f:
+        f.write(clip.tobytes())
+    src2 = open_source(path, 0, (32, 32))
+    assert len(list(src2)) == 3
+
+
+def test_stream_backpressure_bounded():
+    """Consumer that never releases more than ring depth must not see the
+    producer run ahead (slots are reused in order)."""
+    src = native.NativeSyntheticSource(100, 32, 32, seed=0, depth=2)
+    it = iter(src)
+    first = next(it)
+    rest = list(it)
+    assert len(rest) == 99
+    assert first.shape == (32, 32, 3)
+    src.close()

@@ -144,6 +144,11 @@ class TrackerConfig:
     center_features: bool = True
     template_ema: float = 0.02  # template update rate (0 disables)
     template_update_conf: float = 0.5  # only update template when conf above
+    # Re-detection hook (SURVEY.md §5.3): while the lost flag is set, widen
+    # the search window and inflate propagation noise so the cloud sweeps a
+    # larger area until the appearance likelihood re-locks.
+    redetect_window_boost: float = 1.5
+    redetect_noise_boost: float = 2.0
     estimate: str = "mean"  # "mean" | "mode" (highest-weight particle)
 
     def resolve(self) -> "TrackerConfig":

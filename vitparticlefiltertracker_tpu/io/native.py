@@ -1,0 +1,184 @@
+"""ctypes binding for the native frame-ingestion runtime (native/vpt_io.cpp).
+
+The C++ library provides a GIL-free producer thread filling a bounded
+prefetch ring — the host half of the fused decode->track pipeline (B12).
+Python consumes zero-copy numpy views into the ring. Sources:
+
+  * NativeRawSource       — mmap'ed packed-RGB24 file [T, H, W, 3]
+  * NativeSyntheticSource — C++ procedural moving-square clip
+
+Both duck-type the FrameSource protocol (io/video.py) and expose
+`init_bbox` / `truth` like the Python synthetic source. If the shared
+library is missing it is built on demand (`make -C native`); if that fails,
+callers should fall back to the Python sources.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvpt_io.so")
+_lib = None
+
+
+def load_library(build_if_missing: bool = True):
+    """Load (building on demand) the native library; raises OSError if
+    unavailable. Callers gate on `available()` for soft fallback."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and build_if_missing:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR], check=False, capture_output=True
+        )
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    lib.vpt_open_raw.restype = ctypes.c_void_p
+    lib.vpt_open_raw.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vpt_open_synthetic.restype = ctypes.c_void_p
+    lib.vpt_open_synthetic.argtypes = [
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+    ]
+    lib.vpt_num_frames.restype = ctypes.c_int64
+    lib.vpt_num_frames.argtypes = [ctypes.c_void_p]
+    lib.vpt_frame_bytes.restype = ctypes.c_int64
+    lib.vpt_frame_bytes.argtypes = [ctypes.c_void_p]
+    lib.vpt_synth_truth.restype = None
+    lib.vpt_synth_truth.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.vpt_synth_init_bbox.restype = None
+    lib.vpt_synth_init_bbox.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.vpt_read_frame.restype = ctypes.c_int
+    lib.vpt_read_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.vpt_stream_start.restype = ctypes.c_int
+    lib.vpt_stream_start.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.vpt_stream_next.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.vpt_stream_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.vpt_stream_release.restype = None
+    lib.vpt_stream_release.argtypes = [ctypes.c_void_p]
+    lib.vpt_close.restype = None
+    lib.vpt_close.argtypes = [ctypes.c_void_p]
+
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        load_library()
+        return True
+    except OSError:
+        return False
+
+
+class _NativeSource:
+    """Common ring-streaming iterator over a native Source handle."""
+
+    def __init__(self, handle: int, height: int, width: int, depth: int = 3):
+        if not handle:
+            raise RuntimeError("native source open failed")
+        self._lib = load_library()
+        self._h = ctypes.c_void_p(handle)
+        self.height, self.width = height, width
+        self.depth = depth
+        self._streaming = False
+
+    def __len__(self) -> int:
+        return int(self._lib.vpt_num_frames(self._h))
+
+    def read(self, idx: int) -> np.ndarray:
+        """Random-access single frame (synchronous, copies)."""
+        out = np.empty((self.height, self.width, 3), np.uint8)
+        rc = self._lib.vpt_read_frame(
+            self._h, idx, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        if rc != 0:
+            raise IndexError(idx)
+        return out
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        """Stream frames through the native prefetch ring.
+
+        Yields a COPY of each ring slot (the slot is released immediately so
+        the producer never stalls on Python); jax.device_put consumes it
+        asynchronously downstream. For zero-copy H2D, use iter_views().
+        """
+        lib = self._lib
+        if not self._streaming:
+            if lib.vpt_stream_start(self._h, self.depth) != 0:
+                raise RuntimeError("stream already started")
+            self._streaming = True
+        idx = ctypes.c_int64()
+        nbytes = int(lib.vpt_frame_bytes(self._h))
+        while True:
+            ptr = lib.vpt_stream_next(self._h, ctypes.byref(idx))
+            if not ptr:
+                return
+            view = np.ctypeslib.as_array(ptr, shape=(nbytes,))
+            frame = view.reshape(self.height, self.width, 3).copy()
+            lib.vpt_stream_release(self._h)
+            yield frame
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.vpt_close(self._h)
+            self._h = ctypes.c_void_p()
+
+    def __del__(self):  # best-effort
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeRawSource(_NativeSource):
+    """mmap'ed packed-RGB24 raw clip ([T, H, W, 3] bytes on disk)."""
+
+    def __init__(self, path: str, height: int, width: int,
+                 num_frames: int = 0, depth: int = 3):
+        lib = load_library()
+        h = lib.vpt_open_raw(path.encode(), num_frames, height, width)
+        super().__init__(h, height, width, depth)
+
+
+class NativeSyntheticSource(_NativeSource):
+    """C++ procedural moving-square clip (matches io/synthetic.py's motion
+    model; textures differ — use for pipeline/throughput benchmarking)."""
+
+    def __init__(self, num_frames: int, height: int, width: int,
+                 seed: int = 0, depth: int = 3):
+        lib = load_library()
+        h = lib.vpt_open_synthetic(num_frames, height, width, seed)
+        super().__init__(h, height, width, depth)
+        bbox = (ctypes.c_float * 4)()
+        lib.vpt_synth_init_bbox(self._h, bbox)
+        self.init_bbox = np.asarray(bbox[:], np.float32)
+
+    @property
+    def truth(self) -> np.ndarray:
+        lib = self._lib
+        n = len(self)
+        out = np.empty((n, 2), np.float32)
+        buf = (ctypes.c_float * 2)()
+        for t in range(n):
+            lib.vpt_synth_truth(self._h, t, buf)
+            out[t] = buf[:]
+        return out

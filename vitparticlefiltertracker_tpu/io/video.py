@@ -133,6 +133,17 @@ def open_source(
     """Dispatch on the config's io.source string."""
     if source.startswith("camera:"):
         return CameraSource(int(source.split(":", 1)[1]), num_frames)
+    if source.startswith("native-synthetic:") or source.endswith(".rgb24"):
+        # Native (C++) GIL-free prefetch-ring sources (io/native.py).
+        from vitparticlefiltertracker_tpu.io import native
+
+        if source.endswith(".rgb24"):
+            return native.NativeRawSource(
+                source, frame_size[0], frame_size[1], num_frames
+            )
+        return native.NativeSyntheticSource(
+            num_frames or 30, frame_size[0], frame_size[1], seed=seed
+        )
     if source.startswith("synthetic:"):
         name = synthetic.parse_synthetic_source(source)
         return SyntheticSource(

@@ -101,12 +101,14 @@ def run_benchmark(
 
     # Host<->device round-trip cost of one readback (to decompose latency:
     # on-chip step time vs transport). One trivial jitted op + readback.
-    tiny = jax.jit(lambda x: x + 1)(jnp.zeros((1,), jnp.float32))
+    bump = jax.jit(lambda x: x + 1)  # ONE executable, reused (no recompiles)
+    tiny = bump(jnp.zeros((1,), jnp.float32))
     np.asarray(tiny)
     rtts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        np.asarray(jax.jit(lambda x: x + 1)(tiny))
+        tiny = bump(tiny)
+        np.asarray(tiny)
         rtts.append((time.perf_counter() - t0) * 1e3)
     rtt_ms = float(np.median(rtts))
     _log(f"host<->device readback RTT ~{rtt_ms:.2f} ms", verbose)

@@ -256,9 +256,14 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
     def step_fn(prm, state: TrackerState, frame_u8: jax.Array):
         frame_f32 = frame_u8.astype(jnp.float32)
         noise = draw_step_noise(jax.random.fold_in(state.key, state.frame_idx), n)
+        # Re-detection (SURVEY.md §5.3): while lost, sweep a wider area —
+        # inflate position diffusion and the search window until re-lock.
+        noise_boost = jnp.where(state.lost, t.redetect_noise_boost, 1.0)
+        noise = noise._replace(pos=noise.pos * noise_boost)
         particles = propagate(state.pf.particles, noise, pfp.motion)
 
         side = _window_side(state.box_wh, state.prev_scale, t.search_scale)
+        side = side * jnp.where(state.lost, t.redetect_window_boost, 1.0)
         boxes_xy = particles[:, 0:2]
         boxes_wh = state.box_wh[None, :] * jnp.exp(particles[:, 4:5])
         emb, in_win = embeddings(prm, frame_f32, state.center, side, boxes_xy, boxes_wh)
@@ -318,6 +323,36 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
     return _Fns(init=init_fn, step=step_fn)
 
 
+# ---------------------------------------------------------------------------
+# State checkpoint/resume (SURVEY.md §5.4): TrackerState is a flat pytree of
+# arrays, so a stream can be checkpointed mid-video and resumed exactly —
+# the RNG is counter-based (key + frame_idx), so the resumed trajectory is
+# bitwise-identical to the uninterrupted one.
+# ---------------------------------------------------------------------------
+
+def _state_treedef():
+    dummy = TrackerState(
+        pf=PFState(particles=0, log_weights=0),
+        template=0, box_wh=0, center=0, prev_scale=0, key=0, frame_idx=0,
+        conf=0, lost=0,
+    )
+    return jax.tree_util.tree_structure(dummy)
+
+
+def save_tracker_state(path: str, state: TrackerState) -> None:
+    """Serialize a (possibly banked) TrackerState to .npz."""
+    raw = state._replace(key=jax.random.key_data(state.key))
+    leaves = jax.tree_util.tree_leaves(raw)
+    np.savez(path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def load_tracker_state(path: str) -> TrackerState:
+    with np.load(path) as z:
+        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(z.files))]
+    state = jax.tree_util.tree_unflatten(_state_treedef(), leaves)
+    return state._replace(key=jax.random.wrap_key_data(state.key))
+
+
 class Tracker:
     """User-facing API: Tracker(cfg).init(frame, bbox); .step(frame); .run(src).
 
@@ -363,6 +398,16 @@ class Tracker:
         """Device-native step: no host sync (for streaming/bench loops)."""
         self.state, out = self._step_jit(self.vit_params, self.state, frame_dev)
         return out
+
+    # -- checkpoint/resume (SURVEY.md §5.4) ----------------------------------
+    def save(self, path: str) -> None:
+        assert self.state is not None, "nothing to save before init()"
+        save_tracker_state(path, self.state)
+
+    def resume(self, path: str) -> None:
+        """Restore mid-stream state; subsequent steps continue the exact
+        trajectory the checkpointed run would have produced."""
+        self.state = load_tracker_state(path)
 
     @staticmethod
     def _to_record(out: TrackOutput) -> dict[str, Any]:

@@ -36,13 +36,16 @@ def main() -> int:
             },
         }
     )
-    result = run_benchmark(cfg, warmup=8, measure_frames=200, stage_frames=8)
+    # 64 staged frames: the offline scan amortizes one relay round-trip over
+    # 64 on-chip steps (staging is a one-time H2D, excluded from timing).
+    result = run_benchmark(cfg, warmup=8, measure_frames=256, stage_frames=64)
     target_fps = 60.0
     out = {
         "metric": "frames/sec/chip at ViT-B/16 + 1k particles",
         "value": round(result["fps"], 2),
         "unit": "fps",
         "vs_baseline": round(result["fps"] / target_fps, 3),
+        "fps_serving": round(result["fps_serving"], 2),
         "p50_ms": round(result["p50_ms"], 3),
         "p99_ms": round(result["p99_ms"], 3),
         "rtt_ms": round(result["rtt_ms"], 3),

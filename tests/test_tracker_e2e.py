@@ -33,7 +33,7 @@ def tiny_cfg(**over):
     }
     for k, v in over.items():
         for kk, vv in v.items():
-            d[k][kk] = vv
+            d.setdefault(k, {})[kk] = vv
     return Config.from_dict(d)
 
 
@@ -74,6 +74,46 @@ def test_tracks_synthetic_target_crop_window_impl():
     recs, errs = run_clip(cfg)
     rmse = float(np.sqrt(np.mean(errs**2)))
     assert rmse < 12.0, f"RMSE {rmse}, errs {errs}"
+
+
+def test_track_clip_matches_sequential_steps():
+    """lax.scan whole-clip tracking == frame-by-frame step() bitwise."""
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg()
+    src = open_source(cfg.io.source, 9, tuple(cfg.io.frame_size), seed=0)
+    frames = list(src)
+
+    tr_a = Tracker(cfg)
+    tr_a.init(frames[0], src.init_bbox)
+    seq = [tr_a.step(f) for f in frames[1:]]
+
+    tr_b = Tracker(cfg)
+    tr_b.init(frames[0], src.init_bbox)
+    outs = tr_b.track_clip_device(jnp.asarray(np.stack(frames[1:])))
+    pos = np.asarray(outs.position)
+    ess = np.asarray(outs.ess)
+    for i, r in enumerate(seq):
+        np.testing.assert_array_equal(pos[i], r["position"])
+        np.testing.assert_array_equal(ess[i], r["ess"])
+    # Final states identical -> continuing from either path stays in sync.
+    np.testing.assert_array_equal(
+        np.asarray(tr_a.state.pf.particles), np.asarray(tr_b.state.pf.particles)
+    )
+
+
+def test_banked_track_clip_shapes():
+    from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg(runtime={"banks": 3})
+    src = open_source(cfg.io.source, 6, tuple(cfg.io.frame_size), seed=0)
+    frames = list(src)
+    mt = MultiTracker(cfg)
+    mt.init(frames[0], np.tile(src.init_bbox, (3, 1)))
+    outs = mt.track_clip_device(jnp.asarray(np.stack(frames[1:])))
+    assert np.asarray(outs.position).shape == (5, 3, 2)
+    assert np.isfinite(np.asarray(outs.position)).all()
 
 
 def test_determinism_same_seed():

@@ -52,13 +52,17 @@ def _hat(sample: jax.Array, grid: jax.Array) -> jax.Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(sample - grid))
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _window_patchify_kernel(
     boxes_ref,  # SMEM [block_n, 4] f32: (cx, cy, w, h) in window px
     win_ref,  # VMEM [Swin, C*Swin] f32 channel-major columns
-    kern_ref,  # VMEM [p*p*C, D] embed weight (compute dtype)
+    kern_ref,  # VMEM [p*C*p, D] embed weight, rows ordered (py, c, px)
     bias_ref,  # VMEM [1, D]
     out_ref,  # VMEM [block_n * g*g, D]
-    tok_ref,  # VMEM scratch [block_n * g*g, p*p*C] f32
+    tok_ref,  # VMEM scratch [block_n * g*g, p*C*p] f32, cols (py, c, px)
     *,
     swin: int,
     crop: int,
@@ -69,19 +73,33 @@ def _window_patchify_kernel(
     g = crop // patch
     g2 = g * g
     c = channels
+    p = patch
+    cp = c * p  # one (c, px) feature stripe
+    cp_pad = _round_up(cp, 128)  # lane-aligned stripe (Mosaic stores must
+    # land on 128-lane boundaries; the pad columns carry zero weights and
+    # match zero rows in the permuted embed matrix)
 
     # Static iota grids shared by every particle in the block.
     row_k = jax.lax.broadcasted_iota(jnp.int32, (crop, swin), 0).astype(jnp.float32)
     col_r = jax.lax.broadcasted_iota(jnp.int32, (crop, swin), 1).astype(jnp.float32)
-    # Wx3 index grids: rows (c, w) in [C*Swin), cols (c', j) in [C*crop).
-    r3 = jax.lax.broadcasted_iota(jnp.int32, (c * swin, c * crop), 0)
-    c3 = jax.lax.broadcasted_iota(jnp.int32, (c * swin, c * crop), 1)
+    # Column mixer index grids: rows (c_in, w) in [C*Swin); cols laid out
+    # (gx, pad(c, px)) in [g*cp_pad) — gx-major so each token's stripe is one
+    # contiguous, lane-aligned slice.
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (c * swin, g * cp_pad), 0)
+    c3 = jax.lax.broadcasted_iota(jnp.int32, (c * swin, g * cp_pad), 1)
     chan_row = r3 // swin
     w3 = (r3 % swin).astype(jnp.float32)
-    chan_col = c3 // crop
-    j3 = (c3 % crop).astype(jnp.float32)
+    gx3 = c3 // cp_pad
+    rpad = c3 % cp_pad
+    valid_col = rpad < cp
+    chan_col = jnp.minimum(rpad, cp - 1) // p
+    px3 = rpad % p
+    j3 = (gx3 * p + px3).astype(jnp.float32)  # crop-column index of each col
 
-    def body(ib, _):
+    # Python-unrolled particle loop: every store below then has a fully
+    # static destination (Mosaic rejects single-row vector stores at traced
+    # sublane offsets). block_n is small, so the unroll is cheap.
+    for ib in range(block_n):
         cx = boxes_ref[ib, 0]
         cy = boxes_ref[ib, 1]
         bw = boxes_ref[ib, 2]
@@ -97,23 +115,28 @@ def _window_patchify_kernel(
         )  # [crop, C*Swin]
 
         xj = jnp.clip(cx + bw * ((j3 + 0.5) / crop - 0.5), 0.0, swin - 1.0)
-        wx3 = jnp.where(chan_row == chan_col, _hat(xj, w3), 0.0)  # [C*Swin, C*crop]
+        wx3 = jnp.where(
+            valid_col & (chan_row == chan_col), _hat(xj, w3), 0.0
+        )  # [C*Swin, g*cp_pad]
         crop2 = jax.lax.dot_general(
             t1, wx3, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [crop, C*crop]; crop2[gy*p+py, c*crop + gx*p+px]
+        )  # [crop, g*cp_pad]; crop2[gy*p+py, (gx, pad(c, px))]
 
-        # Repack to token-major features (py, px, c) — the layout
-        # models/vit.py:patchify produces.
-        toks = (
-            crop2.reshape(g, patch, c, g, patch)
-            .transpose(0, 3, 1, 4, 2)
-            .reshape(g2, patch * patch * c)
-        )
-        tok_ref[pl.ds(ib * g2, g2), :] = toks
-        return 0
-
-    jax.lax.fori_loop(0, block_n, body, 0)
+        # Patchify repack WITHOUT vector reshapes (Mosaic rejects high-rank
+        # reshapes): each (gy, gx, py) combination is one contiguous,
+        # lane-aligned [1, cp_pad] stripe of crop2, stored at static column
+        # offset py*cp_pad of its token's row. g*g*p small stores per
+        # particle; the embed weight rows are permuted/zero-padded to the
+        # matching (py, pad(c, px)) order on the host side.
+        for gy in range(g):
+            for gx in range(g):
+                row = ib * g2 + gy * g + gx  # fully static
+                for py in range(p):
+                    tok_ref[row : row + 1, py * cp_pad : (py + 1) * cp_pad] = crop2[
+                        gy * p + py : gy * p + py + 1,
+                        gx * cp_pad : (gx + 1) * cp_pad,
+                    ]
 
     # One embed GEMM for the whole particle block.
     out_ref[:] = (
@@ -160,7 +183,16 @@ def gather_patchify_window_pallas(
         swin, c * swin
     )
 
-    kern = kernel
+    # The kernel emits token features in (py, pad(c, px)) order — contiguous
+    # lane-aligned stripes of its column-mixed sample matrix. Permute the
+    # embed weight's rows from the canonical (py, px, c) to match and insert
+    # zero rows for the lane padding — host-side, once.
+    cp = c * p
+    cp_pad = _round_up(cp, 128)
+    kperm = kernel.reshape(p, p, c, d).transpose(0, 2, 1, 3).reshape(p, cp, d)
+    kern = jnp.pad(kperm, ((0, 0), (0, cp_pad - cp), (0, 0))).reshape(
+        p * cp_pad, d
+    )
     grid = (n_pad // block_n,)
     kernel_fn = functools.partial(
         _window_patchify_kernel,
@@ -185,7 +217,7 @@ def gather_patchify_window_pallas(
         out_specs=pl.BlockSpec((block_n * g2, d), lambda i: (i, 0), memory_space=vmem),
         scratch_shapes=[
             (pltpu.VMEM if pltpu is not None else pl.ANY)(
-                (block_n * g2, p * p * c), jnp.float32
+                (block_n * g2, p * cp_pad), jnp.float32
             )
         ],
         interpret=interpret,

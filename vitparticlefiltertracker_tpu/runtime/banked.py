@@ -42,7 +42,12 @@ def build_banked_fns(cfg: Config):
     fns = build_tracker_fns(cfg)
     init_b = jax.vmap(fns.init, in_axes=(None, None, 0, 0))
     step_b = jax.vmap(fns.step, in_axes=(None, 0, None))
-    return init_b, step_b
+
+    def clip_b(prm, state, frames):
+        """scan(vmap(step)) — K banks x T frames in one dispatch."""
+        return jax.lax.scan(lambda s, f: step_b(prm, s, f), state, frames)
+
+    return init_b, step_b, clip_b
 
 
 class MultiTracker:
@@ -64,7 +69,7 @@ class MultiTracker:
             if cfg.tracker.mode == "crop":
                 spec = spec._replace(image_size=cfg.tracker.crop_size)
             vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
-        init_b, step_b = build_banked_fns(cfg)
+        init_b, step_b, clip_b = build_banked_fns(cfg)
 
         r = cfg.runtime
         if mesh is None and r.mesh_banks * r.mesh_particles > 1:
@@ -77,10 +82,13 @@ class MultiTracker:
             self._init_jit = jax.jit(init_b)  # sharding applied post-init
             self._step_jit = None  # built lazily once state sharding is known
             self._step_b = step_b
+            self._clip_jit = None
+            self._clip_b = clip_b
         else:
             self.vit_params = jax.device_put(vit_params)
             self._init_jit = jax.jit(init_b)
             self._step_jit = jax.jit(step_b, donate_argnums=(1,))
+            self._clip_jit = jax.jit(clip_b, donate_argnums=(1,))
         self.state = None
 
     def init(self, frame: np.ndarray, bboxes) -> None:
@@ -97,6 +105,12 @@ class MultiTracker:
                 param_sh = jax.tree.map(lambda _: rep, self.vit_params)
                 self._step_jit = jax.jit(
                     self._step_b,
+                    in_shardings=(param_sh, shardings, rep),
+                    out_shardings=(shardings, None),
+                    donate_argnums=(1,),
+                )
+                self._clip_jit = jax.jit(
+                    self._clip_b,
                     in_shardings=(param_sh, shardings, rep),
                     out_shardings=(shardings, None),
                     donate_argnums=(1,),
@@ -131,3 +145,10 @@ class MultiTracker:
     def step_device(self, frame_dev: jax.Array):
         self.state, out = self._step_jit(self.vit_params, self.state, frame_dev)
         return out
+
+    def track_clip_device(self, frames_dev: jax.Array):
+        """Track a staged clip [T, H, W, 3] for all K banks in ONE dispatch
+        (lax.scan over frames of the vmapped bank step)."""
+        assert self.state is not None, "call init() first"
+        self.state, outs = self._clip_jit(self.vit_params, self.state, frames_dev)
+        return outs

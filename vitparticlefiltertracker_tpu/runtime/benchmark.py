@@ -113,11 +113,10 @@ def run_benchmark(
     rtt_ms = float(np.median(rtts))
     _log(f"host<->device readback RTT ~{rtt_ms:.2f} ms", verbose)
 
-    # Throughput: chunked-readback pipeline — dispatch `chunk` steps, read
-    # back the last one's position. Every chunk's results are materialized,
-    # but one transport round-trip amortizes over `chunk` steps, so the rate
-    # approaches the true on-chip step rate (the streaming pipeline operates
-    # the same way). Deeper chunks risk relay queue pathology on this rig.
+    # Serving throughput: chunked-readback pipeline — dispatch `chunk` steps,
+    # read back the last one's position. Every chunk's results are
+    # materialized, but one transport round-trip amortizes over `chunk`
+    # steps. Deeper chunks risk relay queue pathology on this rig.
     chunk = 10
     t0 = time.perf_counter()
     done = 0
@@ -127,8 +126,26 @@ def run_benchmark(
         np.asarray(out.position)
         done += chunk
     dt = time.perf_counter() - t0
-    fps = done / dt
-    _log(f"throughput: {fps:.1f} fps over {done} frames (chunk={chunk})", verbose)
+    fps_serving = done / dt
+    _log(f"serving throughput: {fps_serving:.1f} fps (chunk={chunk})", verbose)
+
+    # Offline (per-chip) throughput: lax.scan over the staged clip — ONE
+    # dispatch tracks the whole rotation with zero host involvement between
+    # frames, then every per-frame position is read back. This is the truest
+    # frames/sec/chip number (the offline/batch API, Tracker.track_clip_device).
+    outs = tracker.track_clip_device(dev_clip)  # warm the scan executable
+    np.asarray(outs.position)
+    reps = max(1, measure_frames // n_rot)
+    from vitparticlefiltertracker_tpu.utils.profiling import trace
+
+    with trace(cfg.runtime.profile_dir):  # §5.1: Perfetto/XPlane dump if set
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            outs = tracker.track_clip_device(dev_clip)
+            np.asarray(outs.position)  # all T positions materialized
+        dt = time.perf_counter() - t0
+    fps = reps * n_rot / dt
+    _log(f"offline throughput: {fps:.1f} fps ({reps}x{n_rot} frames, scan)", verbose)
 
     lat = np.asarray(lat_ms)
     p50 = float(np.percentile(lat, 50))
@@ -144,6 +161,7 @@ def run_benchmark(
             "backend": jax.default_backend(),
         },
         "fps": fps,
+        "fps_serving": fps_serving,
         "p50_ms": p50,
         "p99_ms": float(np.percentile(lat, 99)),
         "mean_ms": float(lat.mean()),

@@ -116,6 +116,7 @@ def _window_side(box_wh: jax.Array, scale: jax.Array, search_scale: float) -> ja
 class _Fns(NamedTuple):
     init: Any
     step: Any
+    track_clip: Any
 
 
 def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
@@ -320,7 +321,18 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
         )
         return new_state, track_out
 
-    return _Fns(init=init_fn, step=step_fn)
+    # ---- whole-clip step (offline/batch path) ------------------------------
+    def track_clip_fn(prm, state: TrackerState, frames_u8: jax.Array):
+        """lax.scan of step_fn over a staged clip [K, H, W, 3].
+
+        ONE device dispatch tracks K frames — the offline/batch API, and the
+        purest per-chip throughput unit (no host round-trips between frames).
+        Semantically identical to K sequential step() calls (same RNG
+        counters), which tests assert.
+        """
+        return jax.lax.scan(lambda s, f: step_fn(prm, s, f), state, frames_u8)
+
+    return _Fns(init=init_fn, step=step_fn, track_clip=track_clip_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +389,7 @@ class Tracker:
         fns = build_tracker_fns(cfg)
         self._init_jit = jax.jit(fns.init)
         self._step_jit = jax.jit(fns.step, donate_argnums=(1,))
+        self._clip_jit = jax.jit(fns.track_clip, donate_argnums=(1,))
         self.state: TrackerState | None = None
 
     # -- lifecycle -----------------------------------------------------------
@@ -398,6 +411,15 @@ class Tracker:
         """Device-native step: no host sync (for streaming/bench loops)."""
         self.state, out = self._step_jit(self.vit_params, self.state, frame_dev)
         return out
+
+    def track_clip_device(self, frames_dev: jax.Array) -> TrackOutput:
+        """Track a staged clip [K, H, W, 3] in ONE device call (lax.scan).
+
+        Returns stacked TrackOutput with a leading K axis. The offline/batch
+        API: K frames, one dispatch, one readback."""
+        assert self.state is not None, "call init() first"
+        self.state, outs = self._clip_jit(self.vit_params, self.state, frames_dev)
+        return outs
 
     # -- checkpoint/resume (SURVEY.md §5.4) ----------------------------------
     def save(self, path: str) -> None:

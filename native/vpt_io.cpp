@@ -68,8 +68,8 @@ struct Source {
 
   // synthetic source
   bool synthetic = false;
-  std::vector<float> background;  // H*W*3
-  std::vector<float> pattern;     // th*tw*3
+  std::vector<uint8_t> background;  // H*W*3, pre-clamped
+  std::vector<uint8_t> pattern;     // th*tw*3, pre-clamped
   int tw = 0, th = 0;
   float cx0 = 0, cy0 = 0, speed = 0, amp = 0;
 
@@ -90,11 +90,8 @@ void synth_frame(const Source &s, int64_t t, uint8_t *out) {
   cx = std::fmin(std::fmax(cx, margin), static_cast<float>(w) - margin);
   cy = std::fmin(std::fmax(cy, margin), static_cast<float>(h) - margin);
 
-  const float *bg = s.background.data();
-  for (size_t i = 0; i < s.frame_bytes; ++i) {
-    float v = bg[i];
-    out[i] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
-  }
+  // Background is pre-clamped uint8: one memcpy per frame.
+  std::memcpy(out, s.background.data(), s.frame_bytes);
   int x0 = static_cast<int>(std::lround(cx - s.tw / 2.0));
   int y0 = static_cast<int>(std::lround(cy - s.th / 2.0));
   for (int py = 0; py < s.th; ++py) {
@@ -103,12 +100,11 @@ void synth_frame(const Source &s, int64_t t, uint8_t *out) {
     for (int px = 0; px < s.tw; ++px) {
       int x = x0 + px;
       if (x < 0 || x >= w) continue;
-      const float *src = &s.pattern[(py * s.tw + px) * 3];
+      const uint8_t *src = &s.pattern[(py * s.tw + px) * 3];
       uint8_t *dst = &out[(static_cast<size_t>(y) * w + x) * 3];
-      for (int c = 0; c < 3; ++c) {
-        float v = src[c];
-        dst[c] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
-      }
+      dst[0] = src[0];
+      dst[1] = src[1];
+      dst[2] = src[2];
     }
   }
 }
@@ -217,7 +213,9 @@ void *vpt_open_synthetic(int64_t num_frames, int height, int width,
                   at(y0, x0 + 1) * (1 - wy) * wx +
                   at(y0 + 1, x0) * wy * (1 - wx) +
                   at(y0 + 1, x0 + 1) * wy * wx;
-        s->background[(static_cast<size_t>(y) * width + x) * 3 + c] = v;
+        v = v < 0 ? 0 : (v > 255 ? 255 : v);
+        s->background[(static_cast<size_t>(y) * width + x) * 3 + c] =
+            static_cast<uint8_t>(v);
       }
     }
   }
@@ -231,10 +229,10 @@ void *vpt_open_synthetic(int64_t num_frames, int height, int width,
       float rx = (px - (s->tw - 1) / 2.0f) / (s->tw / 2.0f);
       float r = std::sqrt(rx * rx + ry * ry);
       float core = std::fmax(0.0f, 1.0f - r);
-      float *p = &s->pattern[(static_cast<size_t>(py) * s->tw + px) * 3];
-      p[0] = 40 + 215 * core;
-      p[1] = 30 + 120 * core * core;
-      p[2] = 200 * std::fmin(std::fmax(r - 0.3f, 0.0f), 1.0f);
+      uint8_t *p = &s->pattern[(static_cast<size_t>(py) * s->tw + px) * 3];
+      p[0] = static_cast<uint8_t>(40 + 215 * core);
+      p[1] = static_cast<uint8_t>(30 + 120 * core * core);
+      p[2] = static_cast<uint8_t>(200 * std::fmin(std::fmax(r - 0.3f, 0.0f), 1.0f));
     }
   }
   s->cx0 = width * 0.35f;

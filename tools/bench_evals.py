@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Run every BASELINE.md eval config on the attached device and record
+results in docs/BENCH_RESULTS.md (+ JSONL). SURVEY.md §6 / component B14.
+
+Eval 5's full streaming form (4K decode->track at 60 fps) is transport-bound
+on this rig (the chip sits behind a ~1 MB/s relay, so ONE 4K frame takes
+~24 s to ship); it is benchmarked here in device-staged form — the same
+per-frame compute with frames pre-staged in HBM — which is the number the
+chip itself is responsible for. The host-side pipeline half is covered by
+the native ring producer benchmark (tools/bench_native_io.py).
+
+Usage: python tools/bench_evals.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from vitparticlefiltertracker_tpu.config import load_config
+from vitparticlefiltertracker_tpu.runtime.benchmark import run_benchmark
+from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+# (config file, stage_frames, measure_frames, notes)
+EVALS = [
+    ("configs/eval1-cpu-synthetic.yaml", 16, 64,
+     "spec'd for CPU; run here on the attached device"),
+    ("configs/eval2-tpu-occlusion.yaml", 32, 128, ""),
+    ("configs/eval3-tpu-needle-1080p.yaml", 8, 64,
+     "1080p frames; staging H2D excluded from timing"),
+    ("configs/eval4-tpu-multiobject-720p.yaml", 16, 64,
+     "8 banks x 1k particles, single chip (banks vmapped)"),
+    ("configs/eval5-tpu-streaming-4k.yaml", 4, 32,
+     "device-staged form of the streaming config (see header)"),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer frames")
+    ap.add_argument("--only", type=int, default=0, help="run only eval N")
+    args = ap.parse_args()
+
+    enable_compilation_cache()
+    import jax
+
+    backend = jax.default_backend()
+    results = []
+    for i, (cfg_path, stage, measure, notes) in enumerate(EVALS, start=1):
+        if args.only and i != args.only:
+            continue
+        if args.quick:
+            stage, measure = min(stage, 8), min(measure, 32)
+        cfg = load_config(os.path.join(REPO, cfg_path))
+        print(f"=== eval {i}: {cfg_path} ===", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        try:
+            r = run_benchmark(
+                cfg, warmup=4, measure_frames=measure, latency_frames=8,
+                stage_frames=stage,
+            )
+            r["eval"] = i
+            r["config_file"] = cfg_path
+            r["notes"] = notes
+            r["wall_s"] = round(time.perf_counter() - t0, 1)
+            results.append(r)
+            print(json.dumps({k: r[k] for k in
+                              ("eval", "fps", "fps_serving", "p50_ms",
+                               "p50_device_ms")}),
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # record the failure, keep going
+            results.append({"eval": i, "config_file": cfg_path,
+                            "error": repr(e)[:500], "notes": notes})
+            print(f"eval {i} FAILED: {e!r}", file=sys.stderr, flush=True)
+
+    os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
+    jsonl = os.path.join(REPO, "docs", f"bench_evals_{backend}.jsonl")
+    with open(jsonl, "w") as f:
+        for r in results:
+            f.write(json.dumps(r) + "\n")
+
+    md = os.path.join(REPO, "docs", "BENCH_RESULTS.md")
+    with open(md, "w") as f:
+        f.write(
+            "# BASELINE.md eval-config results\n\n"
+            f"Backend: **{backend}** — one TPU v5e chip behind this rig's "
+            "~30 ms host<->device relay. All timings are bounded by real "
+            "position readbacks (`jax.block_until_ready` is a no-op on this "
+            "platform); `fps` is the offline whole-clip scan "
+            "(`track_clip_device`), `fps_serving` the chunked per-step path, "
+            "`p50_device_ms` the per-step latency net of the relay RTT.\n\n"
+            "| eval | config | fps (offline) | fps (serving) | p50 ms "
+            "| p50 device ms | notes |\n"
+            "|---|---|---|---|---|---|---|\n"
+        )
+        for r in results:
+            if "error" in r:
+                f.write(f"| {r['eval']} | `{r['config_file']}` | FAILED | | | "
+                        f"| {r['error'][:80]} |\n")
+                continue
+            f.write(
+                f"| {r['eval']} | `{r['config_file']}` | {r['fps']:.1f} "
+                f"| {r['fps_serving']:.1f} | {r['p50_ms']:.1f} "
+                f"| {r['p50_device_ms']:.2f} | {r['notes']} |\n"
+            )
+        f.write(
+            "\nTargets (BASELINE.md): >=60 fps/chip at ViT-B/16 + 1k "
+            "particles (eval 2 config), p50 < 16 ms.\n\n"
+            "Eval 5 note: its offline number amortizes the relay RTT over "
+            "only 4 staged 4K frames (staging more is transport-prohibitive "
+            "here); see p50_device_ms for the on-chip step rate. Host-side "
+            "ingest for eval 5 is benchmarked by tools/bench_native_io.py "
+            "(native C++ ring vs Python producer).\n"
+        )
+    print(f"wrote {md} and {jsonl}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

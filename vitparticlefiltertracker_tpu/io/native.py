@@ -114,28 +114,43 @@ class _NativeSource:
             raise IndexError(idx)
         return out
 
+    def _start(self) -> None:
+        if not self._streaming:
+            if self._lib.vpt_stream_start(self._h, self.depth) != 0:
+                raise RuntimeError("stream already started")
+            self._streaming = True
+
     def __iter__(self) -> Iterator[np.ndarray]:
         """Stream frames through the native prefetch ring.
 
         Yields a COPY of each ring slot (the slot is released immediately so
         the producer never stalls on Python); jax.device_put consumes it
-        asynchronously downstream. For zero-copy H2D, use iter_views().
+        asynchronously downstream. For zero-copy, use iter_views().
+        """
+        for view in self.iter_views():
+            yield view.copy()
+
+    def iter_views(self) -> Iterator[np.ndarray]:
+        """Zero-copy streaming: yields numpy views INTO the ring slot.
+
+        The view is valid only until the next iteration (the slot is
+        released when the generator resumes) — consume or copy it first.
+        This is the path for synchronous per-frame H2D upload, where the
+        transfer itself is the copy.
         """
         lib = self._lib
-        if not self._streaming:
-            if lib.vpt_stream_start(self._h, self.depth) != 0:
-                raise RuntimeError("stream already started")
-            self._streaming = True
+        self._start()
         idx = ctypes.c_int64()
         nbytes = int(lib.vpt_frame_bytes(self._h))
         while True:
             ptr = lib.vpt_stream_next(self._h, ctypes.byref(idx))
             if not ptr:
                 return
-            view = np.ctypeslib.as_array(ptr, shape=(nbytes,))
-            frame = view.reshape(self.height, self.width, 3).copy()
+            view = np.ctypeslib.as_array(ptr, shape=(nbytes,)).reshape(
+                self.height, self.width, 3
+            )
+            yield view
             lib.vpt_stream_release(self._h)
-            yield frame
 
     def close(self) -> None:
         if self._h:

@@ -39,6 +39,7 @@ class VitSpec(NamedTuple):
     dtype: Any = jnp.bfloat16  # compute dtype
     use_flash_attention: bool = True
     use_cls_token: bool = False  # dense tracking pools patch tokens
+    ln_eps: float = 1e-6  # HF ViT checkpoints use 1e-12 (tools/import_vit.py)
     # Dense tracking needs translation-EQUIVARIANT token features: with
     # positional embeddings, an ROI embedding encodes where the box sits in
     # the search window (which is centered on the previous estimate), so the
@@ -135,12 +136,12 @@ def param_count(params: dict) -> int:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _layer_norm(x: jax.Array, p: dict, dtype) -> jax.Array:
+def _layer_norm(x: jax.Array, p: dict, dtype, eps: float = 1e-6) -> jax.Array:
     """LN with f32 statistics regardless of compute dtype."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
     return (y * p["scale"] + p["bias"]).astype(dtype)
 
 
@@ -164,7 +165,7 @@ def _block(x: jax.Array, p: dict, spec: VitSpec) -> jax.Array:
     hd = d // h
     dtype = spec.dtype
 
-    y = _layer_norm(x, p["ln1"], dtype)
+    y = _layer_norm(x, p["ln1"], dtype, spec.ln_eps)
     qkv = y @ p["attn"]["wqkv"].astype(dtype) + p["attn"]["bqkv"].astype(dtype)
     qkv = qkv.reshape(b, t, 3, h, hd).transpose(2, 0, 3, 1, 4)  # [3, B, H, T, hd]
     o = multi_head_attention(
@@ -173,9 +174,11 @@ def _block(x: jax.Array, p: dict, spec: VitSpec) -> jax.Array:
     o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
     x = x + (o @ p["attn"]["wo"].astype(dtype) + p["attn"]["bo"].astype(dtype))
 
-    y = _layer_norm(x, p["ln2"], dtype)
+    y = _layer_norm(x, p["ln2"], dtype, spec.ln_eps)
     y = y @ p["mlp"]["w1"].astype(dtype) + p["mlp"]["b1"].astype(dtype)
-    y = jax.nn.gelu(y)
+    # Exact (erf) GELU — matches torch/HF ViT checkpoints; the tanh
+    # approximation drifts ~1e-3 per block, which compounds over depth.
+    y = jax.nn.gelu(y, approximate=False)
     y = y @ p["mlp"]["w2"].astype(dtype) + p["mlp"]["b2"].astype(dtype)
     return x + y
 
@@ -213,7 +216,7 @@ def encode_tokens(params: dict, x: jax.Array, spec: VitSpec) -> jax.Array:
         return _block(carry, bp, spec), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    return _layer_norm(x, params["ln_final"], dtype)
+    return _layer_norm(x, params["ln_final"], dtype, spec.ln_eps)
 
 
 def pool_tokens(tokens: jax.Array, spec: VitSpec) -> jax.Array:

@@ -28,7 +28,7 @@ def main() -> int:
                 "use_flash_attention": True,
             },
             "filter": {"num_particles": 1024, "seed": 0},
-            "tracker": {"mode": "dense", "search_scale": 4.0, "roi_grid": 3},
+            "tracker": {"mode": "dense", "search_scale": 4.0, "roi_grid": 5},
             "io": {
                 "source": "synthetic:moving-square",
                 "num_frames": 16,

@@ -93,12 +93,18 @@ def test_track_clip_matches_sequential_steps():
     outs = tr_b.track_clip_device(jnp.asarray(np.stack(frames[1:])))
     pos = np.asarray(outs.position)
     ess = np.asarray(outs.ess)
+    # Near-exact: the scan body and the standalone step are separately
+    # compiled programs, and XLA may fuse/reassociate reductions differently
+    # (observed ~1e-5 px). Semantics (RNG draws, resample decisions) are
+    # identical.
     for i, r in enumerate(seq):
-        np.testing.assert_array_equal(pos[i], r["position"])
-        np.testing.assert_array_equal(ess[i], r["ess"])
-    # Final states identical -> continuing from either path stays in sync.
-    np.testing.assert_array_equal(
-        np.asarray(tr_a.state.pf.particles), np.asarray(tr_b.state.pf.particles)
+        np.testing.assert_allclose(pos[i], r["position"], atol=1e-3, rtol=1e-6)
+        np.testing.assert_allclose(ess[i], r["ess"], atol=0.1)
+        assert bool(np.asarray(outs.resampled)[i]) == r["resampled"]
+    np.testing.assert_allclose(
+        np.asarray(tr_a.state.pf.particles),
+        np.asarray(tr_b.state.pf.particles),
+        atol=1e-2,
     )
 
 

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Tracking-quality evaluation: RMSE vs ground truth on every synthetic
+clip family, plus occlusion-recovery behavior. Writes docs/QUALITY.md.
+
+Runs the flagship config (ViT-B/16 dense, bf16+flash on TPU; f32 on CPU)
+with track_clip_device — one device dispatch per clip. Clips are generated
+at 640x480 regardless of the perf-eval geometries (quality is scale-
+invariant here; the perf numbers live in docs/BENCH_RESULTS.md).
+
+Usage: python tools/eval_quality.py [--seeds 0 1 2] [--frames 48]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.io.video import open_source
+from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+CLIPS = [
+    ("moving-square", {}),
+    ("occlusion", {"filter.lost_conf_threshold": 0.35}),
+    ("needle", {}),
+    ("surveillance", {"filter.motion.sigma_pos": 4.0}),
+]
+
+
+def flagship_cfg(overrides: dict) -> Config:
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = Config.from_dict(
+        {
+            "model": {
+                "variant": "vit-b16",
+                "image_size": 224,
+                "dtype": "bfloat16" if on_tpu else "float32",
+                "use_flash_attention": on_tpu,
+            },
+            "filter": {"num_particles": 1024},
+            "tracker": {"mode": "dense"},
+        }
+    )
+    from vitparticlefiltertracker_tpu.config import apply_override
+
+    for k, v in overrides.items():
+        apply_override(cfg, f"{k}={v}")
+    return cfg.resolve()
+
+
+def run_clip(cfg: Config, name: str, seed: int, frames: int):
+    import jax
+    import jax.numpy as jnp
+
+    from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+
+    src = open_source(f"synthetic:{name}", frames, (480, 640), seed=seed)
+    clip = np.stack(list(src))
+    tr = Tracker(cfg)
+    tr.init(clip[0], src.init_bbox)
+    outs = tr.track_clip_device(jax.device_put(jnp.asarray(clip[1:])))
+    pos = np.asarray(outs.position, np.float32)  # [T-1, 2]
+    lost = np.asarray(outs.lost)
+    conf = np.asarray(outs.conf, np.float32)
+    err = np.linalg.norm(pos - src.truth[1:], axis=1)
+    box_diag = float(np.hypot(src.init_bbox[2], src.init_bbox[3]))
+    return err, lost, conf, box_diag
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--frames", type=int, default=48)
+    args = ap.parse_args()
+    enable_compilation_cache()
+    import jax
+
+    backend = jax.default_backend()
+    rows = []
+    for name, over in CLIPS:
+        cfg = flagship_cfg(over)
+        rmses, final5, max_errs, lost_frac = [], [], [], []
+        diag = 0.0
+        for seed in args.seeds:
+            err, lost, conf, diag = run_clip(cfg, name, seed, args.frames)
+            rmses.append(float(np.sqrt(np.mean(err**2))))
+            final5.append(float(err[-5:].mean()))
+            max_errs.append(float(err.max()))
+            lost_frac.append(float(lost.mean()))
+            print(
+                f"{name} seed={seed}: rmse={rmses[-1]:.1f}px "
+                f"final5={final5[-1]:.1f} max={max_errs[-1]:.1f} "
+                f"lost%={100*lost_frac[-1]:.0f}",
+                file=sys.stderr, flush=True,
+            )
+        rows.append(
+            {
+                "clip": name,
+                "rmse_px": round(float(np.mean(rmses)), 1),
+                "final5_px": round(float(np.mean(final5)), 1),
+                "max_px": round(float(np.mean(max_errs)), 1),
+                "lost_frac": round(float(np.mean(lost_frac)), 2),
+                "box_diag_px": round(diag, 1),
+                "seeds": args.seeds,
+            }
+        )
+
+    os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
+    md = os.path.join(REPO, "docs", "QUALITY.md")
+    with open(md, "w") as f:
+        f.write(
+            "# Tracking quality — synthetic clip families\n\n"
+            f"Backend: **{backend}**; flagship config (ViT-B/16 dense, "
+            f"1k particles, random-init weights), {args.frames}-frame "
+            f"640x480 clips, seeds {args.seeds}; errors in pixels against "
+            "procedural ground truth (io/synthetic.py). `final5` is the "
+            "mean error over the last 5 frames (is the tracker still locked "
+            "at the end); `lost%` the fraction of frames flagged lost "
+            "(occlusion detection).\n\n"
+            "| clip | RMSE | final-5 mean | max | lost% | target diag |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write(
+                f"| {r['clip']} | {r['rmse_px']} | {r['final5_px']} "
+                f"| {r['max_px']} | {int(100*r['lost_frac'])}% "
+                f"| {r['box_diag_px']} |\n"
+            )
+        f.write(
+            "\nThe occlusion clip sweeps a bar over the target for ~1/6 of "
+            "the clip; error spikes while covered and must recover after "
+            "(re-detection hook + confidence-gated template updates).\n"
+        )
+    with open(os.path.join(REPO, "docs", f"quality_{backend}.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {md}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -136,7 +136,8 @@ class TrackerConfig:
     #                     (ops/patchify_pallas.py); XLA fallback off-TPU
     crop_impl: str = "frame"
     window_size: int = 256  # search-window resolution for window/window-pallas
-    roi_grid: int = 3  # dense mode: KxK ROI-align sample grid per box
+    roi_grid: int = 5  # dense mode: KxK ROI-align samples per box (5 covers
+    # elongated boxes — 3x3 undersamples a 60x8 needle and loses lock)
     # Dense mode: subtract the window-mean token embedding from every ROI
     # embedding (and the template) before cosine comparison. Mean-pooled ViT
     # features share a large global-context component that compresses all

@@ -155,24 +155,33 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
         spec = spec._replace(use_pos_embed=False)
 
     # ---- appearance embedding -------------------------------------------
-    def dense_embeddings(prm, frame_f32, center, side, boxes_xy, boxes_wh):
-        """One ViT forward on the search window; ROI-pool each box.
+    # make_embedder returns a pool(boxes_xy, boxes_wh) closure so that the
+    # per-frame work (window extraction + the ViT forward) is computed ONCE
+    # per frame *by construction*, however many box sets are embedded
+    # (particles, then the template-EMA estimate) — not left to XLA CSE.
+    def make_dense_embedder(prm, frame_f32, center, side):
+        """One ViT forward on the search window; pool() ROI-pools any boxes.
         boxes_xy: [M, 2] frame-px centers; boxes_wh: [M, 2] frame-px sizes."""
         window = _normalize_window(extract_window_mxu(frame_f32, center, side, s_img))
         feat = vit_forward_tokens(prm, window[None], spec)[0]
         feat = feat.reshape(grid, grid, spec.dim)
-        win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
-        gxy = (win_px - (patch - 1) / 2.0) / patch  # feature-grid coords
-        gwh = boxes_wh / side * s_img / patch
-        emb = roi_pool_mxu(feat, gxy, gwh, t.roi_grid)  # [M, D]
-        if t.center_features:
-            # Remove the window's shared-context component (see
-            # ops/likelihood.py:center_embeddings) — template and particles
-            # are centered by the same window mean, so cosines compare
-            # appearance, not global image statistics.
-            emb = emb - jnp.mean(feat.reshape(-1, spec.dim), axis=0)[None, :]
-        in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
-        return emb, in_win
+        # Window's shared-context component (see ops/likelihood.py:
+        # center_embeddings) — template and particles are centered by the
+        # same window mean, so cosines compare appearance, not global image
+        # statistics.
+        mean_emb = jnp.mean(feat.reshape(-1, spec.dim), axis=0)
+
+        def pool(boxes_xy, boxes_wh):
+            win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
+            gxy = (win_px - (patch - 1) / 2.0) / patch  # feature-grid coords
+            gwh = boxes_wh / side * s_img / patch
+            emb = roi_pool_mxu(feat, gxy, gwh, t.roi_grid)  # [M, D]
+            if t.center_features:
+                emb = emb - mean_emb[None, :]
+            in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
+            return emb, in_win
+
+        return pool
 
     def _norm_folded_embed_weights(prm):
         """Fold pixel normalization into the patch-embed affine map:
@@ -224,10 +233,10 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
         feats = encode_tokens(prm, tokens, spec)
         return pool_tokens(feats, spec), jnp.ones(boxes_xy.shape[0], bool)
 
-    def embeddings(prm, frame_f32, center, side, boxes_xy, boxes_wh):
+    def make_embedder(prm, frame_f32, center, side):
         if mode == "dense":
-            return dense_embeddings(prm, frame_f32, center, side, boxes_xy, boxes_wh)
-        return crop_embeddings(prm, frame_f32, center, side, boxes_xy, boxes_wh)
+            return make_dense_embedder(prm, frame_f32, center, side)
+        return lambda bxy, bwh: crop_embeddings(prm, frame_f32, center, side, bxy, bwh)
 
     # ---- init -------------------------------------------------------------
     def init_fn(prm, frame_u8: jax.Array, bbox: jax.Array, seed: jax.Array) -> TrackerState:
@@ -238,7 +247,7 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
         center = bbox[:2] + bbox[2:] / 2.0
         box_wh = bbox[2:]
         side = _window_side(box_wh, jnp.float32(1.0), t.search_scale)
-        emb, _ = embeddings(prm, frame_f32, center, side, center[None], box_wh[None])
+        emb, _ = make_embedder(prm, frame_f32, center, side)(center[None], box_wh[None])
         template = l2_normalize(emb[0].astype(jnp.float32))
         pf = init_state(jax.random.fold_in(key, 0xFFFFFFFF), center, n, pfp)
         return TrackerState(
@@ -267,7 +276,8 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
         side = side * jnp.where(state.lost, t.redetect_window_boost, 1.0)
         boxes_xy = particles[:, 0:2]
         boxes_wh = state.box_wh[None, :] * jnp.exp(particles[:, 4:5])
-        emb, in_win = embeddings(prm, frame_f32, state.center, side, boxes_xy, boxes_wh)
+        pool = make_embedder(prm, frame_f32, state.center, side)
+        emb, in_win = pool(boxes_xy, boxes_wh)
         if use_znorm:
             loglik, cos = znormed_log_likelihood(emb, state.template, zscale)
         else:
@@ -284,10 +294,7 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
         # Template EMA update at the estimated box (B8 robustness), gated on
         # confidence so occlusions don't poison the template.
         if ema > 0.0:
-            est_emb, _ = embeddings(
-                prm, frame_f32, state.center, side, est_xy[None],
-                (state.box_wh * est_scale)[None],
-            )
+            est_emb, _ = pool(est_xy[None], (state.box_wh * est_scale)[None])
             cand = l2_normalize(
                 (1.0 - ema) * state.template
                 + ema * l2_normalize(est_emb[0].astype(jnp.float32))

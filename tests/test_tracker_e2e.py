@@ -108,6 +108,31 @@ def test_track_clip_matches_sequential_steps():
     )
 
 
+def test_banked_tracks_distinct_targets():
+    """Each bank locks onto ITS target on a true multi-object clip
+    (synthetic:multi-K — the reference's surveillance case, README.md:50)."""
+    from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+    import jax.numpy as jnp
+
+    k = 3
+    cfg = tiny_cfg(runtime={"banks": k}, io={"frame_size": [224, 288]})
+    src = open_source(f"synthetic:multi-{k}", 16, (224, 288), seed=0)
+    frames = list(src)
+    mt = MultiTracker(cfg)
+    mt.init(frames[0], src.init_bbox)  # [K, 4]
+    outs = mt.track_clip_device(jnp.asarray(np.stack(frames[1:])))
+    pos = np.asarray(outs.position)  # [T-1, K, 2]
+    err = np.linalg.norm(pos - src.truth[1:], axis=-1)  # [T-1, K]
+    rmse = np.sqrt((err**2).mean(axis=0))
+    assert (rmse < 15.0).all(), rmse
+    # And each bank is closer to its own target than to any other target.
+    final = pos[-1]
+    d_own = np.linalg.norm(final - src.truth[-1], axis=-1)
+    for i in range(k):
+        d_other = np.linalg.norm(final[i] - np.delete(src.truth[-1], i, 0), axis=-1)
+        assert d_own[i] < d_other.min(), (i, d_own[i], d_other)
+
+
 def test_banked_track_clip_shapes():
     from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
     import jax.numpy as jnp

@@ -115,6 +115,83 @@ def make_clip(
     return frames, truth, init_bbox
 
 
+def make_multi_clip(
+    num_targets: int,
+    num_frames: int = 30,
+    height: int = 224,
+    width: int = 224,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """K independently-moving, distinctly-textured targets on one clip.
+
+    The reference's surveillance use case (README.md:50) is multi-object;
+    this drives MultiTracker quality tests (truth [T, K, 2], bboxes [K, 4]).
+    Targets start well-separated on a K-cell grid and move with per-target
+    linear + sinusoidal motion.
+    """
+    rng = np.random.default_rng(seed)
+    bg = _textured_background(rng, height, width)
+    k = num_targets
+    scale = min(height, width) / 224.0
+    tw = th = max(8, int(28 * scale))
+    margin = tw
+
+    # Distinct hue per target: rotate the radial-gradient channel weights.
+    yy, xx = np.mgrid[0:th, 0:tw]
+    ry = (yy - (th - 1) / 2) / (th / 2)
+    rx = (xx - (tw - 1) / 2) / (tw / 2)
+    r = np.sqrt(rx**2 + ry**2)
+    core = np.clip(1.0 - r, 0.0, 1.0)
+    rim = 200 * np.clip(r - 0.3, 0, 1)
+    chans = [40 + 215 * core, 30 + 120 * core * core, rim]
+    patterns = [
+        np.stack([chans[i % 3], chans[(i + 1) % 3], chans[(i + 2) % 3]], axis=-1)
+        for i in range(k)
+    ]
+
+    # Starting cells on a ceil(sqrt(K)) grid; per-target velocity/phase.
+    side = int(np.ceil(np.sqrt(k)))
+    starts = []
+    for i in range(k):
+        gy, gx = divmod(i, side)
+        starts.append(
+            (
+                width * (0.5 + gx) / side,
+                height * (0.5 + gy) / side,
+            )
+        )
+    vels = rng.uniform(-2.0, 2.0, size=(k, 2)) * scale
+    phases = rng.uniform(0, 2 * np.pi, size=k)
+    amp = height * 0.06
+
+    frames = np.empty((num_frames, height, width, 3), np.uint8)
+    truth = np.empty((num_frames, k, 2), np.float32)
+    for t in range(num_frames):
+        f = bg.copy()
+        f += rng.normal(0, 2.0, size=f.shape)
+        for i in range(k):
+            cx = starts[i][0] + vels[i, 0] * t
+            cy = starts[i][1] + vels[i, 1] * t + amp * np.sin(
+                2 * np.pi * t / max(30, num_frames) + phases[i]
+            )
+            cx = np.clip(cx, margin, width - margin)
+            cy = np.clip(cy, margin, height - margin)
+            _draw_target(f, cx, cy, tw, th, patterns[i])
+            truth[t, i] = (cx, cy)
+        frames[t] = np.clip(f, 0, 255).astype(np.uint8)
+
+    init_bboxes = np.stack(
+        [
+            np.array(
+                [truth[0, i, 0] - tw / 2, truth[0, i, 1] - th / 2, tw, th],
+                np.float32,
+            )
+            for i in range(k)
+        ]
+    )
+    return frames, truth, init_bboxes
+
+
 def parse_synthetic_source(source: str) -> str:
     assert source.startswith("synthetic:"), source
     return source.split(":", 1)[1]

@@ -29,9 +29,16 @@ class SyntheticSource:
     """`synthetic:<name>` — procedural clip with ground truth attached."""
 
     def __init__(self, name: str, num_frames: int, height: int, width: int, seed: int = 0):
-        self.frames, self.truth, self.init_bbox = synthetic.make_clip(
-            name, num_frames=num_frames, height=height, width=width, seed=seed
-        )
+        if name.startswith("multi-"):
+            # "multi-<K>": K independently-moving targets (multi-object).
+            k = int(name.split("-", 1)[1])
+            self.frames, self.truth, self.init_bbox = synthetic.make_multi_clip(
+                k, num_frames=num_frames, height=height, width=width, seed=seed
+            )
+        else:
+            self.frames, self.truth, self.init_bbox = synthetic.make_clip(
+                name, num_frames=num_frames, height=height, width=width, seed=seed
+            )
 
     def __iter__(self) -> Iterator[np.ndarray]:
         yield from self.frames

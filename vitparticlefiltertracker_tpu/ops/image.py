@@ -152,17 +152,26 @@ def roi_pool_mxu(
     sizes: jax.Array,  # [N, 2] grid units (w, h)
     grid: int,
 ) -> jax.Array:
-    """roi_pool lowered to two batched matmuls via hat_weights (no gathers).
+    """roi_pool lowered to two matmuls via hat_weights (no gathers).
 
-    pooled[n] = mean_{k,j} sum_{r,c} Wy[n,k,r] Wx[n,j,c] feat[r,c] — the
-    bilinear ROI-align of `roi_pool`, expressed as MXU contractions.
+    ROI-align MEAN pooling is separable: bilinear(y, x) factorizes as
+    hat(y)·hat(x), so
+
+        mean_{k,j} sum_{r,c} Wy[n,k,r] Wx[n,j,c] feat[r,c]
+      = sum_{r,c} (mean_k Wy[n,k,r]) (mean_j Wx[n,j,c]) feat[r,c]
+
+    and the KxK sample grid collapses into per-axis AVERAGED hat weights —
+    identical values to sampling all K² points, at O(N·Gh·Gw·D) instead of
+    O(N·K·Gh·Gw·D). K only shapes the averaging windows (it is otherwise
+    free), so dense-mode cost is independent of roi_grid: at 16k particles
+    on a 14x14x768 ViT-B grid this is ~5 GFLOP/frame instead of ~200.
     """
     gh, gw, d = feat.shape
+    n = centers.shape[0]
     t = (jnp.arange(grid, dtype=jnp.float32) + 0.5) / grid - 0.5
     ys = centers[:, 1:2] + sizes[:, 1:2] * t[None, :]  # [N, K]
     xs = centers[:, 0:1] + sizes[:, 0:1] * t[None, :]
-    wy = hat_weights(ys, gh)  # [N, K, Gh]
-    wx = hat_weights(xs, gw)  # [N, K, Gw]
-    a = jnp.einsum("nkr,rcd->nkcd", wy, feat.astype(jnp.float32))
-    pooled = jnp.einsum("njc,nkcd->nkjd", wx, a)
-    return jnp.mean(pooled, axis=(1, 2))
+    ay = jnp.mean(hat_weights(ys, gh), axis=1)  # [N, Gh]
+    ax = jnp.mean(hat_weights(xs, gw), axis=1)  # [N, Gw]
+    s1 = ay @ feat.astype(jnp.float32).reshape(gh, gw * d)  # [N, Gw*D]
+    return jnp.einsum("nc,ncd->nd", ax, s1.reshape(n, gw, d))

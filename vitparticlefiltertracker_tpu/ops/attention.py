@@ -142,10 +142,24 @@ def flash_attention(
     return out.reshape(b, h, t_pad, d_pad)[:, :, :t, :d]
 
 
+# Measured crossover on v5e (tools + /tmp ablations, 2026-08): at tracking's
+# short sequences (ViT-B window = 196 tokens, crop tokens = 4) the kernel's
+# lane padding (d 64 -> 128) and per-program overhead LOSE to XLA's fused
+# attention by ~20%; the kernel wins when T is large enough that the [T, T]
+# logits tensor dominates (global-frame encodes, ~8k tokens at 1080p).
+FLASH_MIN_SEQ = 512
+
+
 def multi_head_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, *, use_flash: bool = True
 ) -> jax.Array:
-    """Dispatch: Pallas flash kernel on TPU, XLA reference elsewhere."""
-    if use_flash and jax.default_backend() == "tpu":
+    """Dispatch: Pallas flash kernel on TPU for long sequences, XLA
+    reference otherwise (short-T shapes are faster un-kerneled — see
+    FLASH_MIN_SEQ)."""
+    if (
+        use_flash
+        and jax.default_backend() == "tpu"
+        and q.shape[-2] >= FLASH_MIN_SEQ
+    ):
         return flash_attention(q, k, v)
     return reference_attention(q, k, v)

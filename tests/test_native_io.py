@@ -91,6 +91,32 @@ def test_open_source_dispatches_native(tmp_path):
     assert len(list(src2)) == 3
 
 
+def test_stream_early_exit_releases_and_reiter_raises():
+    """Abandoning the stream mid-way must not wedge the producer, and a
+    second iteration fails loudly instead of silently resuming."""
+    src = native.NativeSyntheticSource(50, 32, 32, seed=0, depth=2)
+    it = iter(src)
+    for _ in range(3):
+        next(it)
+    it.close()  # generator close -> held slot released
+    with pytest.raises(RuntimeError, match="already consumed"):
+        next(iter(src))
+    src.close()
+
+
+def test_rgb24_python_memmap_fallback(tmp_path):
+    from vitparticlefiltertracker_tpu.io.video import RawMemmapSource
+
+    clip = np.arange(4 * 8 * 8 * 3, dtype=np.uint8).reshape(4, 8, 8, 3)
+    path = str(tmp_path / "c.rgb24")
+    with open(path, "wb") as f:
+        f.write(clip.tobytes())
+    src = RawMemmapSource(path, 8, 8, num_frames=3)
+    got = list(src)
+    assert len(got) == 3
+    np.testing.assert_array_equal(got[1], clip[1])
+
+
 def test_stream_backpressure_bounded():
     """Consumer that never releases more than ring depth must not see the
     producer run ahead (slots are reused in order)."""

@@ -131,8 +131,8 @@ def main() -> int:
         f"mlp={spec.mlp_dim} patch={spec.patch_size} img={spec.image_size} "
         f"ln_eps={spec.ln_eps}\n"
         "config: set model.checkpoint to this file, model.variant to the "
-        "matching preset (or 'custom' with the dims above), and "
-        "model.drop_cls_token: false."
+        "matching preset (or 'custom' with the dims above), "
+        f"model.ln_eps: {spec.ln_eps}, and model.drop_cls_token: false."
     )
     return 0
 

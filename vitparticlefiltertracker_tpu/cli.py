@@ -47,10 +47,23 @@ def load(args) -> Config:
     return cfg.resolve()
 
 
+def _banked_bboxes(init_bbox, banks: int) -> np.ndarray:
+    """[K, 4] bboxes for K banks: tile a single box; pass through (and
+    validate) per-target boxes a multi-object source already provides."""
+    b = np.asarray(init_bbox, np.float32)
+    if b.ndim == 1:
+        return np.tile(b, (banks, 1))
+    if b.shape != (banks, 4):
+        raise ValueError(
+            f"source provides {b.shape[0]} init bboxes but runtime.banks="
+            f"{banks}; set runtime.banks to match the source's target count"
+        )
+    return b
+
+
 def cmd_track(cfg: Config, quiet: bool = False) -> int:
     from vitparticlefiltertracker_tpu.io.sink import JsonlSink, OverlaySink
     from vitparticlefiltertracker_tpu.io.video import open_source
-    from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
 
     source = open_source(
         cfg.io.source,
@@ -58,7 +71,6 @@ def cmd_track(cfg: Config, quiet: bool = False) -> int:
         frame_size=tuple(cfg.io.frame_size),
         seed=cfg.filter.seed,
     )
-    tracker = Tracker(cfg)
     sink = JsonlSink(cfg.io.output)
     overlay = OverlaySink(cfg.io.overlay) if cfg.io.overlay else None
 
@@ -69,14 +81,29 @@ def cmd_track(cfg: Config, quiet: bool = False) -> int:
     bbox = getattr(source, "init_bbox", None)
     if bbox is None:
         bbox = cfg.io.init_bbox
-    tracker.init(frame0, bbox)
-    for i, frame in enumerate(frames_iter):
-        rec = tracker.step(frame)
-        rec["frame"] = i + 1
-        sink.write(rec)
-        if overlay is not None:
-            overlay.write(frame, rec)
-        count += 1
+
+    if cfg.runtime.banks > 1:
+        from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+
+        tracker = MultiTracker(cfg)
+        tracker.init(frame0, _banked_bboxes(bbox, cfg.runtime.banks))
+        for i, frame in enumerate(frames_iter):
+            for rec in tracker.step(frame):
+                rec["frame"] = i + 1
+                sink.write(rec)
+            count += 1
+    else:
+        from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+
+        tracker = Tracker(cfg)
+        tracker.init(frame0, bbox)
+        for i, frame in enumerate(frames_iter):
+            rec = tracker.step(frame)
+            rec["frame"] = i + 1
+            sink.write(rec)
+            if overlay is not None:
+                overlay.write(frame, rec)
+            count += 1
     wall = time.perf_counter() - t_start
     sink.close()
     if overlay is not None:
@@ -118,7 +145,7 @@ def cmd_stream(cfg: Config, quiet: bool = False) -> int:
         from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
 
         tracker = MultiTracker(cfg)
-        init_bbox = np.tile(np.asarray(init_bbox, np.float32), (cfg.runtime.banks, 1))
+        init_bbox = _banked_bboxes(init_bbox, cfg.runtime.banks)
     else:
         from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
 

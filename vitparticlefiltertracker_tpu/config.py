@@ -46,6 +46,8 @@ class ModelConfig:
     use_flash_attention: bool = True  # Pallas flash-attn on TPU, XLA fallback
     checkpoint: str = ""  # optional path to .npz / orbax weights
     drop_cls_token: bool = True  # dense tracking pools patch tokens; cls off
+    ln_eps: float = 1e-6  # layernorm epsilon; HF ViT checkpoints use 1e-12
+    # (tools/import_vit.py prints the value to set alongside checkpoint)
 
     def resolve(self) -> "ModelConfig":
         if self.variant != "custom":

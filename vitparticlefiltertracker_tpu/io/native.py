@@ -115,10 +115,16 @@ class _NativeSource:
         return out
 
     def _start(self) -> None:
-        if not self._streaming:
-            if self._lib.vpt_stream_start(self._h, self.depth) != 0:
-                raise RuntimeError("stream already started")
-            self._streaming = True
+        if self._streaming:
+            # The C++ ring is strictly in-order and one-shot per source; a
+            # second iteration would silently resume mid-stream. Fail loudly.
+            raise RuntimeError(
+                "native stream already consumed — reopen the source to "
+                "iterate again"
+            )
+        if self._lib.vpt_stream_start(self._h, self.depth) != 0:
+            raise RuntimeError("stream already started")
+        self._streaming = True
 
     def __iter__(self) -> Iterator[np.ndarray]:
         """Stream frames through the native prefetch ring.
@@ -142,15 +148,24 @@ class _NativeSource:
         self._start()
         idx = ctypes.c_int64()
         nbytes = int(lib.vpt_frame_bytes(self._h))
-        while True:
-            ptr = lib.vpt_stream_next(self._h, ctypes.byref(idx))
-            if not ptr:
-                return
-            view = np.ctypeslib.as_array(ptr, shape=(nbytes,)).reshape(
-                self.height, self.width, 3
-            )
-            yield view
-            lib.vpt_stream_release(self._h)
+        holding = False
+        try:
+            while True:
+                ptr = lib.vpt_stream_next(self._h, ctypes.byref(idx))
+                if not ptr:
+                    return
+                holding = True
+                view = np.ctypeslib.as_array(ptr, shape=(nbytes,)).reshape(
+                    self.height, self.width, 3
+                )
+                yield view
+                lib.vpt_stream_release(self._h)
+                holding = False
+        finally:
+            # Early exit (break / exception / GeneratorExit): release the
+            # held slot so the producer thread is not wedged on backpressure.
+            if holding:
+                lib.vpt_stream_release(self._h)
 
     def close(self) -> None:
         if self._h:

@@ -100,6 +100,25 @@ class VideoFileSource:
         return self.num_frames or self._len
 
 
+class RawMemmapSource:
+    """Pure-Python packed-RGB24 reader (np.memmap) — the fallback for
+    `*.rgb24` sources when the native library is unavailable."""
+
+    def __init__(self, path: str, height: int, width: int, num_frames: int = 0):
+        frame_bytes = height * width * 3
+        total = os.path.getsize(path) // frame_bytes
+        self._n = min(num_frames, total) if num_frames else total
+        self._mm = np.memmap(path, dtype=np.uint8, mode="r",
+                             shape=(total, height, width, 3))
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for i in range(self._n):
+            yield np.asarray(self._mm[i])
+
+    def __len__(self) -> int:
+        return self._n
+
+
 class CameraSource:
     """Live camera feed (`camera:<index>`) via OpenCV — the reference's
     "video feed" input (/root/reference/README.md:42)."""
@@ -141,15 +160,31 @@ def open_source(
     if source.startswith("camera:"):
         return CameraSource(int(source.split(":", 1)[1]), num_frames)
     if source.startswith("native-synthetic:") or source.endswith(".rgb24"):
-        # Native (C++) GIL-free prefetch-ring sources (io/native.py).
+        # Native (C++) GIL-free prefetch-ring sources (io/native.py), with
+        # pure-Python fallbacks when the shared library can't be built.
         from vitparticlefiltertracker_tpu.io import native
 
+        if native.available():
+            if source.endswith(".rgb24"):
+                return native.NativeRawSource(
+                    source, frame_size[0], frame_size[1], num_frames
+                )
+            return native.NativeSyntheticSource(
+                num_frames or 30, frame_size[0], frame_size[1], seed=seed
+            )
+        import warnings
+
+        warnings.warn(
+            "native io library unavailable (make -C native failed?); "
+            "falling back to the pure-Python source", stacklevel=2,
+        )
         if source.endswith(".rgb24"):
-            return native.NativeRawSource(
+            return RawMemmapSource(
                 source, frame_size[0], frame_size[1], num_frames
             )
-        return native.NativeSyntheticSource(
-            num_frames or 30, frame_size[0], frame_size[1], seed=seed
+        return SyntheticSource(
+            "moving-square", num_frames or 30, frame_size[0], frame_size[1],
+            seed=seed,
         )
     if source.startswith("synthetic:"):
         name = synthetic.parse_synthetic_source(source)

@@ -73,6 +73,7 @@ class VitSpec(NamedTuple):
             dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
             use_flash_attention=m.use_flash_attention,
             use_cls_token=(m.pooling == "cls") or not m.drop_cls_token,
+            ln_eps=m.ln_eps,
         )
 
 

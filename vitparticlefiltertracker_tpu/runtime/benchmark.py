@@ -45,7 +45,7 @@ def run_benchmark(
     cfg.resolve()
     source = open_source(
         cfg.io.source,
-        num_frames=max(stage_frames + 1, min(cfg.io.num_frames or 16, stage_frames + 1)),
+        num_frames=stage_frames + 1,  # exactly the rotation + init frame
         frame_size=tuple(cfg.io.frame_size),
         seed=cfg.filter.seed,
     )
@@ -56,11 +56,11 @@ def run_benchmark(
     _log(f"clip ready: {frames.shape}", verbose)
 
     if cfg.runtime.banks > 1:
+        from vitparticlefiltertracker_tpu.cli import _banked_bboxes
         from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
 
         tracker = MultiTracker(cfg)
-        bboxes = np.tile(init_bbox, (cfg.runtime.banks, 1))
-        tracker.init(frames[0], bboxes)
+        tracker.init(frames[0], _banked_bboxes(init_bbox, cfg.runtime.banks))
     else:
         from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
 

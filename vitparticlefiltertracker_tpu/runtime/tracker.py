@@ -48,6 +48,7 @@ from vitparticlefiltertracker_tpu.ops.image import (
     roi_pool_mxu,
 )
 from vitparticlefiltertracker_tpu.ops.likelihood import (
+    center_embeddings,
     cosine_log_likelihood,
     l2_normalize,
     znormed_log_likelihood,
@@ -119,19 +120,17 @@ class _Fns(NamedTuple):
     track_clip: Any
 
 
-def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
-    """Build (init_fn, step_fn), both pure and jittable, closing over config
-    statics only. ViT weights are an explicit first argument of both fns —
-    NOT a closure constant — so they enter the compiled program as a runtime
-    parameter (one H2D transfer, shardable, donation-friendly) instead of
-    being baked into the HLO as hundreds of MB of literals (which bloats
-    compile time and overflows this rig's remote-compile relay).
+def build_tracker_fns(cfg: Config) -> _Fns:
+    """Build (init_fn, step_fn, track_clip_fn), pure and jittable, closing
+    over config statics only. ViT weights are an explicit first argument of
+    every fn — NOT a closure constant — so they enter the compiled program
+    as a runtime parameter (one H2D transfer, shardable, donation-friendly)
+    instead of being baked into the HLO as hundreds of MB of literals (which
+    bloats compile time and overflows this rig's remote-compile relay).
 
     init(params, frame, bbox, seed) -> TrackerState
     step(params, state, frame) -> (TrackerState, TrackOutput)
-
-    The optional vit_params argument is only used for weight-dtype-agnostic
-    setup and is not captured.
+    track_clip(params, state, frames) -> (TrackerState, TrackOutput[T])
     """
     spec = VitSpec.from_config(cfg.model)
     pfp = _pf_params(cfg)
@@ -177,7 +176,7 @@ def build_tracker_fns(cfg: Config, vit_params=None) -> _Fns:
             gwh = boxes_wh / side * s_img / patch
             emb = roi_pool_mxu(feat, gxy, gwh, t.roi_grid)  # [M, D]
             if t.center_features:
-                emb = emb - mean_emb[None, :]
+                emb = center_embeddings(emb, mean_emb)
             in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
             return emb, in_win
 

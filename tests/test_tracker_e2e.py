@@ -242,3 +242,53 @@ def test_sharded_matches_unsharded():
     a = run(None)
     b = run(make_mesh(2, 4))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+def test_tensor_parallel_matches_replicated():
+    """ViT tensor parallelism over the "model" mesh axis (SURVEY.md §2.2):
+    sharding heads/MLP-hidden must not change the trajectory."""
+    from vitparticlefiltertracker_tpu.parallel.mesh import make_mesh
+    from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = tiny_cfg(
+        model={"variant": "custom", "depth": 2, "dim": 64, "heads": 4,
+               "mlp_dim": 128, "image_size": 64},
+        filter={"num_particles": 64},
+        runtime={"banks": 2},
+    )
+    src = open_source(cfg.io.source, 5, (224, 224), seed=0)
+    frames = list(src)
+    bboxes = np.tile(np.asarray(src.init_bbox, np.float32), (2, 1))
+
+    def run(mesh):
+        mt = MultiTracker(cfg, mesh=mesh)
+        mt.init(frames[0], bboxes)
+        out = [mt.step(f) for f in frames[1:]]
+        return np.asarray([[r["position"] for r in recs] for recs in out])
+
+    a = run(make_mesh(2, 2, 1))  # replicated weights
+    b = run(make_mesh(2, 2, 2))  # heads/MLP sharded over "model"
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+def test_vit_param_sharding_specs():
+    """TP sharding rules hit the right leaves (unit-level, no mesh compute)."""
+    from jax.sharding import PartitionSpec as P
+    from vitparticlefiltertracker_tpu.models.vit import VitSpec, init_vit_params
+    from vitparticlefiltertracker_tpu.parallel.mesh import make_mesh, vit_param_sharding
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(1, 4, 2)
+    spec = VitSpec(depth=2, dim=64, heads=4, mlp_dim=128, image_size=32)
+    params = init_vit_params(jax.random.key(0), spec)
+    sh = vit_param_sharding(mesh, params)
+    assert sh["blocks"]["attn"]["wqkv"].spec == P(None, None, "model")
+    assert sh["blocks"]["attn"]["wo"].spec == P(None, "model", None)
+    assert sh["blocks"]["mlp"]["w1"].spec == P(None, None, "model")
+    assert sh["blocks"]["mlp"]["b1"].spec == P(None, "model")
+    assert sh["blocks"]["mlp"]["w2"].spec == P(None, "model", None)
+    assert sh["blocks"]["ln1"]["scale"].spec == P()
+    assert sh["patch_embed"]["kernel"].spec == P()

@@ -7,7 +7,8 @@ weights". This converter maps a `transformers.ViTModel` (the standard
 layout:
 
   * patch conv [D, C, p, p]      -> patchify matmul kernel [(py, px, c), D]
-  * separate q/k/v Linears       -> fused wqkv [D, 3D] (q|k|v column blocks)
+  * separate q/k/v Linears       -> fused wqkv [D, 3D], columns head-major
+                                    (h, 3, hd) to match models/vit.py
   * per-layer dicts              -> depth-stacked pytree for the lax.scan
   * cls token + pos embeddings   -> carried through unchanged
 
@@ -86,6 +87,15 @@ def convert_hf_vit(model) -> tuple[dict, VitSpec]:
         bq, bk, bv = (
             jnp.asarray(sd[att + f"{n}.bias"]) for n in ("query", "key", "value")
         )
+        h = spec.heads
+        hd = d // h
+        # Head-major fused layout (h, 3, hd) — see models/vit.py:_block.
+        wqkv = jnp.stack(
+            [w.reshape(d, h, hd) for w in (wq, wk, wv)], axis=2
+        ).reshape(d, 3 * d)
+        bqkv = jnp.stack(
+            [bvec.reshape(h, hd) for bvec in (bq, bk, bv)], axis=1
+        ).reshape(3 * d)
         blocks.append(
             {
                 "ln1": {
@@ -93,8 +103,8 @@ def convert_hf_vit(model) -> tuple[dict, VitSpec]:
                     "bias": jnp.asarray(sd[pre + "layernorm_before.bias"]),
                 },
                 "attn": {
-                    "wqkv": jnp.concatenate([wq, wk, wv], axis=1),
-                    "bqkv": jnp.concatenate([bq, bk, bv]),
+                    "wqkv": wqkv,
+                    "bqkv": bqkv,
                     "wo": t(pre + "attention.output.dense.weight"),
                     "bo": jnp.asarray(sd[pre + "attention.output.dense.bias"]),
                 },

@@ -184,8 +184,9 @@ class RuntimeConfig:
     """Device/runtime substrate (B11/B12)."""
 
     banks: int = 1  # multi-object: independent filter banks (BASELINE.json:10)
-    mesh_banks: int = 1  # mesh axis sizes; 1,1 = single chip
+    mesh_banks: int = 1  # mesh axis sizes; 1,1,1 = single chip
     mesh_particles: int = 1
+    mesh_model: int = 1  # tensor-parallel ViT axis (heads/MLP-hidden sharded)
     donate_state: bool = True
     prefetch_frames: int = 2  # double-buffered H2D pipeline depth
     profile_dir: str = ""  # jax.profiler trace output ("" disables)

@@ -110,6 +110,7 @@ def init_vit_params(key: jax.Array, spec: VitSpec) -> dict:
         return {
             "ln1": {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)},
             "attn": {
+                # Fused qkv, columns head-major (h, 3, hd) — see _block.
                 "wqkv": tn(bk[0], (d, 3 * d), d**-0.5),
                 "bqkv": jnp.zeros((3 * d,), jnp.float32),
                 "wo": tn(bk[1], (d, d), d**-0.5),
@@ -168,7 +169,11 @@ def _block(x: jax.Array, p: dict, spec: VitSpec) -> jax.Array:
 
     y = _layer_norm(x, p["ln1"], dtype, spec.ln_eps)
     qkv = y @ p["attn"]["wqkv"].astype(dtype) + p["attn"]["bqkv"].astype(dtype)
-    qkv = qkv.reshape(b, t, 3, h, hd).transpose(2, 0, 3, 1, 4)  # [3, B, H, T, hd]
+    # Fused qkv columns are laid out HEAD-MAJOR (h, 3, hd) — see
+    # init_vit_params — so a tensor-parallel sharding of the fused axis
+    # (parallel/mesh.py:vit_param_sharding) propagates through this reshape
+    # as whole heads per shard instead of splitting the q|k|v blocks.
+    qkv = qkv.reshape(b, t, h, 3, hd).transpose(3, 0, 2, 1, 4)  # [3, B, H, T, hd]
     o = multi_head_attention(
         qkv[0], qkv[1], qkv[2], use_flash=spec.use_flash_attention
     )  # [B, H, T, hd]

@@ -28,18 +28,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(banks: int = 1, particles: int = 1, devices=None) -> Mesh:
-    """Build a ("bank", "particle") mesh over `banks * particles` devices."""
+def make_mesh(
+    banks: int = 1, particles: int = 1, model: int = 1, devices=None
+) -> Mesh:
+    """Build a ("bank", "particle", "model") mesh.
+
+    The "model" axis tensor-parallelizes the ViT (SURVEY.md §2.2): attention
+    heads and the MLP hidden dimension shard across it (vit_param_sharding),
+    for ViT-L at high particle counts where weights+activations outgrow one
+    chip's HBM headroom. Axes of size 1 are free.
+    """
     if devices is None:
         devices = jax.devices()
-    n = banks * particles
+    n = banks * particles * model
     if n > len(devices):
         raise ValueError(
-            f"mesh ({banks} banks x {particles} particle shards) needs {n} "
-            f"devices, have {len(devices)}"
+            f"mesh ({banks} bank x {particles} particle x {model} model) "
+            f"needs {n} devices, have {len(devices)}"
         )
-    dev = np.asarray(devices[:n]).reshape(banks, particles)
-    return Mesh(dev, axis_names=("bank", "particle"))
+    dev = np.asarray(devices[:n]).reshape(banks, particles, model)
+    return Mesh(dev, axis_names=("bank", "particle", "model"))
 
 
 def auto_mesh_shape(n_devices: int) -> tuple[int, int]:
@@ -57,6 +65,50 @@ def auto_mesh_shape(n_devices: int) -> tuple[int, int]:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def vit_param_sharding(mesh: Mesh, params) -> Any:
+    """Tensor-parallel sharding pytree for the ViT params (Megatron-style).
+
+    Column-parallel first matmuls (wqkv over fused head outputs, mlp.w1 over
+    the hidden dim), row-parallel second matmuls (wo, mlp.w2 over their
+    contraction dim) — GSPMD then inserts exactly one all-reduce per
+    residual branch over the "model" axis. Embeddings, LayerNorms, and
+    biases of row-parallel outputs replicate. Works on the stacked
+    [depth, ...] block leaves (leading scan axis unsharded).
+
+    Sharding validity requires heads % model_axis == 0 and
+    mlp_dim % model_axis == 0 (callers assert via check_tp_divisibility).
+    """
+    import jax.tree_util as jtu
+
+    model_ax = "model" if "model" in mesh.axis_names else None
+    if model_ax is None or mesh.shape[model_ax] == 1:
+        return jtu.tree_map(lambda _: replicated(mesh), params)
+
+    def spec_for(path: tuple, x) -> NamedSharding:
+        keys = tuple(
+            getattr(k, "key", getattr(k, "name", None)) for k in path
+        )
+        if "attn" in keys and keys[-1] in ("wqkv", "bqkv"):
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), model_ax))
+        if "attn" in keys and keys[-1] == "wo":
+            return NamedSharding(mesh, P(None, model_ax, None))
+        if "mlp" in keys and keys[-1] in ("w1", "b1"):
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), model_ax))
+        if "mlp" in keys and keys[-1] == "w2":
+            return NamedSharding(mesh, P(None, model_ax, None))
+        return replicated(mesh)
+
+    return jtu.tree_map_with_path(spec_for, params)
+
+
+def check_tp_divisibility(heads: int, mlp_dim: int, model_axis: int) -> None:
+    if heads % model_axis or mlp_dim % model_axis:
+        raise ValueError(
+            f"tensor-parallel axis {model_axis} must divide model.heads "
+            f"({heads}) and model.mlp_dim ({mlp_dim})"
+        )
 
 
 def banked_state_sharding(mesh: Mesh, state_example) -> Any:

@@ -21,8 +21,10 @@ import numpy as np
 from vitparticlefiltertracker_tpu.config import Config
 from vitparticlefiltertracker_tpu.parallel.mesh import (
     banked_state_sharding,
+    check_tp_divisibility,
     make_mesh,
     replicated,
+    vit_param_sharding,
 )
 from vitparticlefiltertracker_tpu.runtime.tracker import (
     TrackerState,
@@ -72,13 +74,19 @@ class MultiTracker:
         init_b, step_b, clip_b = build_banked_fns(cfg)
 
         r = cfg.runtime
-        if mesh is None and r.mesh_banks * r.mesh_particles > 1:
-            mesh = make_mesh(r.mesh_banks, r.mesh_particles)
+        if mesh is None and r.mesh_banks * r.mesh_particles * r.mesh_model > 1:
+            mesh = make_mesh(r.mesh_banks, r.mesh_particles, r.mesh_model)
         self.mesh = mesh
 
         if mesh is not None:
-            # Weights replicated across the mesh; state sharded after init.
-            self.vit_params = jax.device_put(vit_params, replicated(mesh))
+            # Weights tensor-parallel over the "model" axis when it exists
+            # (replicated otherwise); state sharded after init.
+            if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+                check_tp_divisibility(
+                    cfg.model.heads, cfg.model.mlp_dim, mesh.shape["model"]
+                )
+            self._param_sh = vit_param_sharding(mesh, vit_params)
+            self.vit_params = jax.device_put(vit_params, self._param_sh)
             self._init_jit = jax.jit(init_b)  # sharding applied post-init
             self._step_jit = None  # built lazily once state sharding is known
             self._step_b = step_b
@@ -102,7 +110,7 @@ class MultiTracker:
                 # Pin the output state to the same layout as the input state
                 # so step N+1's in_shardings match and donation is in-place.
                 rep = replicated(self.mesh)
-                param_sh = jax.tree.map(lambda _: rep, self.vit_params)
+                param_sh = self._param_sh
                 self._step_jit = jax.jit(
                     self._step_b,
                     in_shardings=(param_sh, shardings, rep),

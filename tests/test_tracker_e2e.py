@@ -292,3 +292,41 @@ def test_vit_param_sharding_specs():
     assert sh["blocks"]["mlp"]["w2"].spec == P(None, "model", None)
     assert sh["blocks"]["ln1"]["scale"].spec == P()
     assert sh["patch_embed"]["kernel"].spec == P()
+
+
+def test_reinit_bank_retargets_without_touching_others():
+    """Dynamic multi-object management: re-point one bank mid-stream; the
+    other banks' posteriors must be unaffected (README.md:50 surveillance —
+    objects enter/leave)."""
+    from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+
+    cfg = tiny_cfg(runtime={"banks": 2}, io={"frame_size": [224, 288]})
+    src = open_source("synthetic:multi-2", 16, (224, 288), seed=0)
+    frames = list(src)
+    # Both banks start on target 0.
+    b0 = src.init_bbox[0]
+
+    def run(reinit: bool):
+        mt = MultiTracker(cfg)
+        mt.init(frames[0], np.stack([b0, b0]))
+        recs = []
+        for i, f in enumerate(frames[1:], start=1):
+            if reinit and i == 6:
+                # Re-target bank 1 onto target 1 at its current true box.
+                c = src.truth[i - 1, 1]
+                w, h = src.init_bbox[1, 2:]
+                mt.reinit_bank(1, frames[i - 1], [c[0] - w / 2, c[1] - h / 2, w, h])
+            recs.append(mt.step(f))
+        return mt, recs
+
+    _, recs_a = run(reinit=False)
+    _, recs_b = run(reinit=True)
+
+    # Bank 0 identical with/without the bank-1 reinit.
+    for ra, rb in zip(recs_a, recs_b):
+        np.testing.assert_array_equal(ra[0]["position"], rb[0]["position"])
+    # Bank 1 ends locked on target 1 (reinit run) vs target 0 (control run).
+    final_b = np.asarray(recs_b[-1][1]["position"])
+    t0, t1 = src.truth[-1]
+    assert np.linalg.norm(final_b - t1) < 12.0, (final_b, t1)
+    assert np.linalg.norm(final_b - t1) < np.linalg.norm(final_b - t0)

@@ -150,6 +150,29 @@ class MultiTracker:
             for k in range(self.banks)
         ]
 
+    def reinit_bank(self, k: int, frame: np.ndarray, bbox, seed: int | None = None) -> None:
+        """Re-target bank k mid-stream (surveillance: objects enter/leave).
+
+        Builds a fresh single-object state from (frame, bbox) and scatters it
+        into the banked state at index k — the other banks' posteriors are
+        untouched. Use together with the per-bank `lost` flag to recycle
+        banks whose targets left the scene.
+        """
+        assert self.state is not None, "call init() first"
+        if not 0 <= k < self.banks:
+            raise IndexError(f"bank {k} out of range [0, {self.banks})")
+        bbox1 = jnp.asarray(np.asarray(bbox, np.float32)).reshape(1, 4)
+        seed1 = jnp.asarray(
+            [self.cfg.filter.seed + k if seed is None else seed], jnp.int32
+        )
+        fresh = self._init_jit(self.vit_params, jnp.asarray(frame), bbox1, seed1)
+        state = jax.tree.map(
+            lambda banked, new: banked.at[k].set(new[0]), self.state, fresh
+        )
+        if self.mesh is not None:
+            state = jax.device_put(state, banked_state_sharding(self.mesh, state))
+        self.state = state
+
     def step_device(self, frame_dev: jax.Array):
         self.state, out = self._step_jit(self.vit_params, self.state, frame_dev)
         return out

@@ -142,24 +142,31 @@ def flash_attention(
     return out.reshape(b, h, t_pad, d_pad)[:, :, :t, :d]
 
 
-# Measured crossover on v5e (tools + /tmp ablations, 2026-08): at tracking's
-# short sequences (ViT-B window = 196 tokens, crop tokens = 4) the kernel's
-# lane padding (d 64 -> 128) and per-program overhead LOSE to XLA's fused
-# attention by ~20%; the kernel wins when T is large enough that the [T, T]
-# logits tensor dominates (global-frame encodes, ~8k tokens at 1080p).
-FLASH_MIN_SEQ = 512
+# Measured crossover on v5e (2026-08): XLA's fused attention wins at
+# tracking's short sequences (196-token windows: flash is ~20% slower from
+# d 64->128 lane padding + program overhead) and stays ahead through
+# T=4096 (11.2 vs 14.5 ms at B=1,H=16); at T=8192 the materialized
+# [B, H, T, T] logits blow past HBM-friendly sizes and XLA collapses
+# (1934 ms vs flash's 121 ms — 16x). Gate on the logits element count, the
+# quantity that actually explodes. Global-frame encodes (1080p ~ 8.1k
+# tokens) land squarely in the flash regime.
+FLASH_MIN_LOGITS_ELEMS = 5e8
 
 
 def multi_head_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, *, use_flash: bool = True
 ) -> jax.Array:
-    """Dispatch: Pallas flash kernel on TPU for long sequences, XLA
-    reference otherwise (short-T shapes are faster un-kerneled — see
-    FLASH_MIN_SEQ)."""
+    """Dispatch: Pallas flash kernel on TPU when the [B, H, T, T] logits
+    tensor is large enough to dominate (see FLASH_MIN_LOGITS_ELEMS), XLA
+    reference attention otherwise."""
+    b_h = 1
+    for s in q.shape[:-2]:
+        b_h *= s
+    t = q.shape[-2]
     if (
         use_flash
         and jax.default_backend() == "tpu"
-        and q.shape[-2] >= FLASH_MIN_SEQ
+        and b_h * t * t >= FLASH_MIN_LOGITS_ELEMS
     ):
         return flash_attention(q, k, v)
     return reference_attention(q, k, v)

@@ -172,3 +172,57 @@ def test_stream_track_end_to_end():
     assert stats["frames"] == 9
     assert [r["frame"] for r in recs] == list(range(1, 10))  # ordered, complete
     assert all(np.isfinite(r["position"]).all() for r in recs)
+
+
+def test_video_file_roundtrip(tmp_path):
+    """B3 core contract: a real encoded video file decodes into the tracker
+    path (reference README.md:42 'video feed')."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48))
+    # Smooth gradients survive lossy encoding (noise wouldn't).
+    yy, xx = np.mgrid[0:48, 0:64]
+    frames = [
+        np.stack([(xx * 4 + i * 30) % 256, (yy * 5) % 256,
+                  np.full_like(xx, 60 + i * 10)], axis=-1).astype(np.uint8)
+        for i in range(5)
+    ]
+    for f in frames:
+        w.write(f[..., ::-1])  # writer takes BGR
+    w.release()
+
+    src = open_source(path)
+    got = list(src)
+    assert len(got) == 5
+    assert got[0].shape == (48, 64, 3) and got[0].dtype == np.uint8
+    # Lossy codec: content should still correlate strongly frame-by-frame.
+    for a, b in zip(got, frames):
+        err = np.abs(a.astype(np.int32) - b.astype(np.int32)).mean()
+        assert err < 20.0, err
+
+
+def test_long_run_stability():
+    """200 frames without NaNs, divergence, or state blowup (soak test)."""
+    from vitparticlefiltertracker_tpu.config import Config
+    from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Config.from_dict(
+        {
+            "model": {"variant": "vit-t16", "image_size": 64, "dtype": "float32",
+                      "use_flash_attention": False},
+            "filter": {"num_particles": 64},
+            "tracker": {"mode": "dense"},
+        }
+    )
+    src = open_source("synthetic:moving-square", 201, (128, 128))
+    frames = np.stack(list(src))
+    tr = Tracker(cfg)
+    tr.init(frames[0], src.init_bbox)
+    outs = tr.track_clip_device(jax.device_put(jnp.asarray(frames[1:])))
+    pos = np.asarray(outs.position)
+    assert np.isfinite(pos).all()
+    err = np.linalg.norm(pos - src.truth[1:], axis=1)
+    assert err[-20:].mean() < 12.0, err[-20:]  # still locked after 200 frames
+    assert np.isfinite(np.asarray(tr.state.pf.log_weights)).all()

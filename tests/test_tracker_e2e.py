@@ -330,3 +330,11 @@ def test_reinit_bank_retargets_without_touching_others():
     t0, t1 = src.truth[-1]
     assert np.linalg.norm(final_b - t1) < 12.0, (final_b, t1)
     assert np.linalg.norm(final_b - t1) < np.linalg.norm(final_b - t0)
+
+
+def test_estimate_mode_tracks():
+    """tracker.estimate: 'mode' (highest-weight particle) also locks on."""
+    cfg = tiny_cfg(tracker={"estimate": "mode"})
+    recs, errs = run_clip(cfg)
+    rmse = float(np.sqrt(np.mean(errs**2)))
+    assert rmse < 12.0, f"RMSE {rmse}"

@@ -147,6 +147,12 @@ class TrackerConfig:
     center_features: bool = True
     template_ema: float = 0.02  # template update rate (0 disables)
     template_update_conf: float = 0.5  # only update template when conf above
+    # Blend weight of the immutable first-frame template in the matching
+    # template: used = normalize(mix*anchor + (1-mix)*adaptive). Bounds EMA
+    # drift — without it a confidently-misaligned estimate feeds itself into
+    # the template and the tracker locks onto background (soak-test measured
+    # 200-frame RMSE 22 -> 8 px with the anchor). 0 = fully adaptive.
+    template_anchor_mix: float = 0.5
     # Re-detection hook (SURVEY.md §5.3): while the lost flag is set, widen
     # the search window and inflate propagation noise so the cloud sweeps a
     # larger area until the appearance likelihood re-locks.

@@ -71,30 +71,57 @@ class ImageSequenceSource:
 
 
 class VideoFileSource:
-    """FFmpeg-decoded video file via imageio (host-side decode thread)."""
+    """Decoded video file: OpenCV when available (the ffmpeg build shipped
+    in this image), imageio otherwise."""
 
     def __init__(self, path: str, num_frames: int = 0):
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         self.path = path
         self.num_frames = num_frames
-        import imageio.v3 as iio
-
+        self._len = 0
         try:
-            meta = iio.immeta(path, plugin="pyav")
-            self._len = int(meta.get("nframes") or 0)
-        except Exception:
-            self._len = 0
+            import cv2
 
-    def __iter__(self) -> Iterator[np.ndarray]:
+            cap = cv2.VideoCapture(path)
+            if cap.isOpened():
+                self._len = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            cap.release()
+            self._use_cv2 = True
+        except ImportError:
+            self._use_cv2 = False
+
+    def _iter_cv2(self) -> Iterator[np.ndarray]:
+        import cv2
+
+        cap = cv2.VideoCapture(self.path)
+        if not cap.isOpened():
+            raise RuntimeError(f"cannot decode {self.path!r}")
+        try:
+            count = 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    return
+                yield np.ascontiguousarray(frame[..., ::-1])  # BGR -> RGB
+                count += 1
+                if self.num_frames and count >= self.num_frames:
+                    return
+        finally:
+            cap.release()
+
+    def _iter_imageio(self) -> Iterator[np.ndarray]:
         import imageio.v3 as iio
 
         count = 0
-        for frame in iio.imiter(self.path, plugin="pyav"):
+        for frame in iio.imiter(self.path):
             yield np.ascontiguousarray(frame[..., :3], dtype=np.uint8)
             count += 1
             if self.num_frames and count >= self.num_frames:
                 return
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self._iter_cv2() if self._use_cv2 else self._iter_imageio()
 
     def __len__(self) -> int:
         return self.num_frames or self._len

@@ -64,7 +64,8 @@ class TrackerState(NamedTuple):
     """Device-resident tracker state pytree (SURVEY.md §3.2(b))."""
 
     pf: PFState
-    template: jax.Array  # [D] f32, L2-normalized appearance template
+    template: jax.Array  # [D] f32, L2-normalized ADAPTIVE template (EMA)
+    anchor: jax.Array  # [D] f32, immutable first-frame template
     box_wh: jax.Array  # [2] f32 base box (w, h) at log_s = 0
     center: jax.Array  # [2] f32 search-window center (prev estimate)
     prev_scale: jax.Array  # [] f32 last estimated scale factor exp(log_s)
@@ -146,6 +147,7 @@ def build_tracker_fns(cfg: Config) -> _Fns:
     grid = s_img // patch
     ema = t.template_ema
     upd_conf = t.template_update_conf
+    anchor_mix = t.template_anchor_mix
 
     if mode == "crop":
         spec = spec._replace(image_size=t.crop_size)
@@ -252,6 +254,7 @@ def build_tracker_fns(cfg: Config) -> _Fns:
         return TrackerState(
             pf=pf,
             template=template,
+            anchor=template,
             box_wh=box_wh,
             center=center,
             prev_scale=jnp.float32(1.0),
@@ -277,14 +280,28 @@ def build_tracker_fns(cfg: Config) -> _Fns:
         boxes_wh = state.box_wh[None, :] * jnp.exp(particles[:, 4:5])
         pool = make_embedder(prm, frame_f32, state.center, side)
         emb, in_win = pool(boxes_xy, boxes_wh)
-        if use_znorm:
-            loglik, cos = znormed_log_likelihood(emb, state.template, zscale)
+        # Matching template: adaptive EMA blended with the immutable anchor
+        # (bounds template drift; see config tracker.template_anchor_mix).
+        if anchor_mix > 0.0 and ema > 0.0:
+            tmpl = l2_normalize(
+                anchor_mix * state.anchor + (1.0 - anchor_mix) * state.template
+            )
         else:
-            loglik, cos = cosine_log_likelihood(emb, state.template, temp)
+            tmpl = state.template
+        if use_znorm:
+            loglik, cos = znormed_log_likelihood(emb, tmpl, zscale)
+        else:
+            loglik, cos = cosine_log_likelihood(emb, tmpl, temp)
         loglik = jnp.where(in_win, loglik, loglik - 1e4)
 
         out = pf_update(particles, state.pf.log_weights, loglik, noise.resample_u, pfp)
-        est = out.estimate
+        if t.estimate == "mode":
+            # MAP-style point estimate: the highest-posterior-weight particle
+            # (config tracker.estimate; "mean" is the default posterior mean).
+            post_w = state.pf.log_weights + loglik
+            est = particles[jnp.argmax(post_w)]
+        else:
+            est = out.estimate
         est_xy = est[0:2]
         est_scale = jnp.exp(est[4])
         conf = jnp.max(cos)
@@ -308,6 +325,7 @@ def build_tracker_fns(cfg: Config) -> _Fns:
         new_state = TrackerState(
             pf=out.state,
             template=template,
+            anchor=state.anchor,
             box_wh=state.box_wh,
             center=new_center,
             prev_scale=jnp.where(lost, state.prev_scale, est_scale),
@@ -351,8 +369,8 @@ def build_tracker_fns(cfg: Config) -> _Fns:
 def _state_treedef():
     dummy = TrackerState(
         pf=PFState(particles=0, log_weights=0),
-        template=0, box_wh=0, center=0, prev_scale=0, key=0, frame_idx=0,
-        conf=0, lost=0,
+        template=0, anchor=0, box_wh=0, center=0, prev_scale=0, key=0,
+        frame_idx=0, conf=0, lost=0,
     )
     return jax.tree_util.tree_structure(dummy)
 

@@ -338,3 +338,55 @@ def test_estimate_mode_tracks():
     recs, errs = run_clip(cfg)
     rmse = float(np.sqrt(np.mean(errs**2)))
     assert rmse < 12.0, f"RMSE {rmse}"
+
+
+def test_multistream_matches_independent_trackers():
+    """K streams in one batched step == K separate Trackers, bitwise-close."""
+    from vitparticlefiltertracker_tpu.runtime.banked import MultiStreamTracker
+    import jax
+    import jax.numpy as jnp
+
+    # ess_threshold=0 disables resampling: no boundary-pick forks, so the
+    # two separately-compiled programs must agree to float tolerance.
+    cfg = tiny_cfg(filter={"num_particles": 64, "ess_threshold": 0.0})
+    cfg.model.image_size = 64
+    k = 3
+    srcs = [
+        open_source("synthetic:moving-square", 7, (128, 128), seed=s)
+        for s in range(k)
+    ]
+    clips = [np.stack(list(s)) for s in srcs]
+
+    # Independent single-stream runs: SHARED ViT weights (filter.seed seeds
+    # both the weights and the PF — the multistream tracker uses one weight
+    # set with per-stream PF seeds, so the singles must too).
+    from vitparticlefiltertracker_tpu.models.params import load_or_init
+    from vitparticlefiltertracker_tpu.models.vit import VitSpec
+
+    shared_params = load_or_init("", VitSpec.from_config(cfg.model), cfg.filter.seed)
+    singles = []
+    for i in range(k):
+        c2 = tiny_cfg(filter={"num_particles": 64, "ess_threshold": 0.0,
+                              "seed": cfg.filter.seed + i})
+        c2.model.image_size = 64
+        tr = Tracker(c2, vit_params=shared_params)
+        tr.init(clips[i][0], srcs[i].init_bbox)
+        singles.append([tr.step(f)["position"] for f in clips[i][1:]])
+
+    # Batched multi-stream run.
+    ms = MultiStreamTracker(cfg, num_streams=k)
+    ms.init(
+        np.stack([c[0] for c in clips]),
+        np.stack([s.init_bbox for s in srcs]),
+    )
+    batch = jnp.asarray(np.stack([c[1:] for c in clips], axis=1))  # [T,K,H,W,3]
+    outs = ms.track_clips_device(batch)
+    pos = np.asarray(outs.position)  # [T, K, 2]
+
+    # The vmapped program is a separate XLA compilation (sub-ulp reduction
+    # reassociation), so "equal" means float-tolerance, not bitwise.
+    for i in range(k):
+        for t_i in range(6):
+            np.testing.assert_allclose(
+                pos[t_i, i], singles[i][t_i], atol=1e-2,
+            )

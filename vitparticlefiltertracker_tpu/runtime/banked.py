@@ -52,6 +52,77 @@ def build_banked_fns(cfg: Config):
     return init_b, step_b, clip_b
 
 
+def build_multistream_fns(cfg: Config):
+    """Multi-STREAM serving: K independent videos, one batched device step.
+
+    Unlike the banked fns (K filters on ONE shared frame), every bank here
+    gets its own frame — the production serving-farm shape. Batching K
+    search-window ViT forwards into one [K, T_tokens, D] encoder call is
+    also where the MXU finally saturates (batch-1 196-token forwards leave
+    it mostly idle): aggregate throughput scales superlinearly with K until
+    compute-bound.
+
+    init(params, frames [K,H,W,3], bboxes [K,4], seeds [K]) -> State[K]
+    step(params, state, frames [K,H,W,3]) -> (State[K], TrackOutput[K])
+    clip(params, state, clips [T,K,H,W,3]) -> (State[K], TrackOutput[T,K])
+    """
+    fns = build_tracker_fns(cfg)
+    init_m = jax.vmap(fns.init, in_axes=(None, 0, 0, 0))
+    step_m = jax.vmap(fns.step, in_axes=(None, 0, 0))
+
+    def clip_m(prm, state, clips):
+        return jax.lax.scan(lambda s, f: step_m(prm, s, f), state, clips)
+
+    return init_m, step_m, clip_m
+
+
+class MultiStreamTracker:
+    """K independent video streams served by one chip in lockstep.
+
+    Same per-stream semantics as K separate Trackers with the same seeds
+    (tested); one jitted call per frame-batch.
+    """
+
+    def __init__(self, cfg: Config, num_streams: int, vit_params=None):
+        cfg.resolve()
+        self.cfg = cfg
+        self.k = num_streams
+        if vit_params is None:
+            from vitparticlefiltertracker_tpu.models.params import load_or_init
+            from vitparticlefiltertracker_tpu.models.vit import VitSpec
+
+            spec = VitSpec.from_config(cfg.model)
+            if cfg.tracker.mode == "crop":
+                spec = spec._replace(image_size=cfg.tracker.crop_size)
+            vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
+        self.vit_params = jax.device_put(vit_params)
+        init_m, step_m, clip_m = build_multistream_fns(cfg)
+        self._init_jit = jax.jit(init_m)
+        self._step_jit = jax.jit(step_m, donate_argnums=(1,))
+        self._clip_jit = jax.jit(clip_m, donate_argnums=(1,))
+        self.state = None
+
+    def init(self, frames: np.ndarray, bboxes, seeds=None) -> None:
+        """frames: [K, H, W, 3]; bboxes: [K, 4]; seeds: [K] (default seed+i)."""
+        bboxes = jnp.asarray(np.asarray(bboxes, np.float32)).reshape(self.k, 4)
+        if seeds is None:
+            seeds = np.arange(self.k, dtype=np.int32) + self.cfg.filter.seed
+        self.state = self._init_jit(
+            self.vit_params, jnp.asarray(frames), bboxes,
+            jnp.asarray(seeds, jnp.int32),
+        )
+
+    def step_device(self, frames_dev: jax.Array):
+        """frames_dev: [K, H, W, 3] -> TrackOutput with leading K axis."""
+        self.state, out = self._step_jit(self.vit_params, self.state, frames_dev)
+        return out
+
+    def track_clips_device(self, clips_dev: jax.Array):
+        """clips_dev: [T, K, H, W, 3] -> TrackOutput [T, K] in one dispatch."""
+        self.state, outs = self._clip_jit(self.vit_params, self.state, clips_dev)
+        return outs
+
+
 class MultiTracker:
     """K-object tracker over one shared frame stream.
 

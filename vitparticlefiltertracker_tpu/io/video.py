@@ -84,10 +84,12 @@ class VideoFileSource:
             import cv2
 
             cap = cv2.VideoCapture(path)
-            if cap.isOpened():
+            # Fall back to imageio when cv2's build can't open this
+            # container/codec, not just when cv2 is missing.
+            self._use_cv2 = cap.isOpened()
+            if self._use_cv2:
                 self._len = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
             cap.release()
-            self._use_cv2 = True
         except ImportError:
             self._use_cv2 = False
 

@@ -17,6 +17,12 @@ import numpy as np
 
 from vitparticlefiltertracker_tpu.models.vit import VitSpec, init_vit_params
 
+# Param-layout version, stored in checkpoints. v2: fused wqkv columns are
+# HEAD-MAJOR (h, 3, hd) — see models/vit.py:_block. v1 (q|k|v block-major)
+# checkpoints would load without error but scramble attention, so loading
+# an unversioned file warns loudly.
+FORMAT_VERSION = 2
+
 
 def _flatten(tree, prefix=""):
     out = {}
@@ -54,6 +60,7 @@ def save_params(path: str, params) -> None:
     """Save a param pytree. `.npz` for portability; orbax for dirs."""
     if path.endswith(".npz"):
         flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+        flat["__vpt_format__"] = np.asarray(FORMAT_VERSION)
         np.savez(path, **flat)
         return
     import orbax.checkpoint as ocp
@@ -67,6 +74,21 @@ def load_params(path: str):
     if path.endswith(".npz"):
         with np.load(path) as z:
             flat = {k: jnp.asarray(z[k]) for k in z.files}
+        version = int(flat.pop("__vpt_format__", 0))
+        if version not in (0, FORMAT_VERSION):
+            raise ValueError(
+                f"{path}: param format v{version}, this build expects "
+                f"v{FORMAT_VERSION}"
+            )
+        if version == 0:
+            import warnings
+
+            warnings.warn(
+                f"{path} has no format marker; if it was written before the "
+                "head-major wqkv layout (format v2), attention weights will "
+                "be scrambled — re-export with tools/import_vit.py",
+                stacklevel=2,
+            )
         return _unflatten(flat)
     import orbax.checkpoint as ocp
 
@@ -77,8 +99,21 @@ def load_params(path: str):
 def load_or_init(checkpoint: str, spec: VitSpec, seed: int = 0):
     if checkpoint:
         return load_params(checkpoint)
+    # (random init below is layout-free — iid entries)
     # One jitted executable for the whole init: on a remote-tunneled TPU,
     # eager init would dispatch ~150 individually-compiled ops; jitting
     # collapses it to a single compile and zero host<->device transfers.
     init = jax.jit(init_vit_params, static_argnames="spec")
     return init(jax.random.key(seed ^ 0x5EED), spec)
+
+
+def resolve_vit_params(cfg, vit_params=None):
+    """Shared weight resolution for Tracker/MultiTracker/MultiStreamTracker:
+    honor an explicit pytree, else load cfg.model.checkpoint or random-init,
+    with the crop-mode image-size override applied to the spec."""
+    if vit_params is not None:
+        return vit_params
+    spec = VitSpec.from_config(cfg.model)
+    if cfg.tracker.mode == "crop":
+        spec = spec._replace(image_size=cfg.tracker.crop_size)
+    return load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)

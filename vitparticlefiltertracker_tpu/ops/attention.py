@@ -150,7 +150,14 @@ def flash_attention(
 # (1934 ms vs flash's 121 ms — 16x). Gate on the logits element count, the
 # quantity that actually explodes. Global-frame encodes (1080p ~ 8.1k
 # tokens) land squarely in the flash regime.
-FLASH_MIN_LOGITS_ELEMS = 5e8
+#
+# The gate sees PER-EXAMPLE shapes: under vmap (banked/multistream
+# trackers) the mapped K axis is invisible here, so the executed batched
+# logits are K x larger than gated. The threshold is therefore set 5x
+# below the measured single-example crossover as vmap headroom — worst
+# case it dispatches flash a little early (a ~1.3x slowdown in a regime
+# no tracking config reaches) instead of risking a K-fold HBM blowup.
+FLASH_MIN_LOGITS_ELEMS = 1e8
 
 
 def multi_head_attention(

@@ -41,39 +41,36 @@ def build_banked_fns(cfg: Config):
     ViT params broadcast across banks (in_axes=None) — one weight copy in
     HBM serves all K filters; vmap batches the K ViT forwards into one.
     """
-    fns = build_tracker_fns(cfg)
-    init_b = jax.vmap(fns.init, in_axes=(None, None, 0, 0))
-    step_b = jax.vmap(fns.step, in_axes=(None, 0, None))
-
-    def clip_b(prm, state, frames):
-        """scan(vmap(step)) — K banks x T frames in one dispatch."""
-        return jax.lax.scan(lambda s, f: step_b(prm, s, f), state, frames)
-
-    return init_b, step_b, clip_b
+    return _build_vmapped_fns(cfg, frame_axis=None)
 
 
 def build_multistream_fns(cfg: Config):
     """Multi-STREAM serving: K independent videos, one batched device step.
 
     Unlike the banked fns (K filters on ONE shared frame), every bank here
-    gets its own frame — the production serving-farm shape. Batching K
-    search-window ViT forwards into one [K, T_tokens, D] encoder call is
-    also where the MXU finally saturates (batch-1 196-token forwards leave
-    it mostly idle): aggregate throughput scales superlinearly with K until
-    compute-bound.
+    gets its own frame — the production serving-farm shape (frame vmap axis
+    0 instead of broadcast). Batching K search-window ViT forwards into one
+    [K, T_tokens, D] encoder call is also where the MXU finally saturates
+    (batch-1 196-token forwards leave it mostly idle).
 
     init(params, frames [K,H,W,3], bboxes [K,4], seeds [K]) -> State[K]
     step(params, state, frames [K,H,W,3]) -> (State[K], TrackOutput[K])
     clip(params, state, clips [T,K,H,W,3]) -> (State[K], TrackOutput[T,K])
     """
+    return _build_vmapped_fns(cfg, frame_axis=0)
+
+
+def _build_vmapped_fns(cfg: Config, frame_axis):
+    """Shared vmap wiring for banked (frame_axis=None, one shared frame)
+    and multi-stream (frame_axis=0, per-bank frames) trackers."""
     fns = build_tracker_fns(cfg)
-    init_m = jax.vmap(fns.init, in_axes=(None, 0, 0, 0))
-    step_m = jax.vmap(fns.step, in_axes=(None, 0, 0))
+    init_v = jax.vmap(fns.init, in_axes=(None, frame_axis, 0, 0))
+    step_v = jax.vmap(fns.step, in_axes=(None, 0, frame_axis))
 
-    def clip_m(prm, state, clips):
-        return jax.lax.scan(lambda s, f: step_m(prm, s, f), state, clips)
+    def clip_v(prm, state, frames):
+        return jax.lax.scan(lambda s, f: step_v(prm, s, f), state, frames)
 
-    return init_m, step_m, clip_m
+    return init_v, step_v, clip_v
 
 
 class MultiStreamTracker:
@@ -87,15 +84,9 @@ class MultiStreamTracker:
         cfg.resolve()
         self.cfg = cfg
         self.k = num_streams
-        if vit_params is None:
-            from vitparticlefiltertracker_tpu.models.params import load_or_init
-            from vitparticlefiltertracker_tpu.models.vit import VitSpec
+        from vitparticlefiltertracker_tpu.models.params import resolve_vit_params
 
-            spec = VitSpec.from_config(cfg.model)
-            if cfg.tracker.mode == "crop":
-                spec = spec._replace(image_size=cfg.tracker.crop_size)
-            vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
-        self.vit_params = jax.device_put(vit_params)
+        self.vit_params = jax.device_put(resolve_vit_params(cfg, vit_params))
         init_m, step_m, clip_m = build_multistream_fns(cfg)
         self._init_jit = jax.jit(init_m)
         self._step_jit = jax.jit(step_m, donate_argnums=(1,))
@@ -134,14 +125,9 @@ class MultiTracker:
         cfg.resolve()
         self.cfg = cfg
         self.banks = cfg.runtime.banks
-        if vit_params is None:
-            from vitparticlefiltertracker_tpu.models.params import load_or_init
-            from vitparticlefiltertracker_tpu.models.vit import VitSpec
+        from vitparticlefiltertracker_tpu.models.params import resolve_vit_params
 
-            spec = VitSpec.from_config(cfg.model)
-            if cfg.tracker.mode == "crop":
-                spec = spec._replace(image_size=cfg.tracker.crop_size)
-            vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
+        vit_params = resolve_vit_params(cfg, vit_params)
         init_b, step_b, clip_b = build_banked_fns(cfg)
 
         r = cfg.runtime

@@ -385,6 +385,18 @@ def save_tracker_state(path: str, state: TrackerState) -> None:
 def load_tracker_state(path: str) -> TrackerState:
     with np.load(path) as z:
         leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(z.files))]
+    want = _state_treedef().num_leaves
+    if len(leaves) == want - 1:
+        # Pre-anchor checkpoint (missing the immutable-anchor leaf, which
+        # sits right after `template` in field order): synthesize
+        # anchor := template so old streams resume with a fully-adaptive
+        # history baked into both.
+        leaves.insert(3, leaves[2])
+    if len(leaves) != want:
+        raise ValueError(
+            f"{path}: {len(leaves)} leaves, expected {want} — not a "
+            "TrackerState checkpoint (or from an incompatible version)"
+        )
     state = jax.tree_util.tree_unflatten(_state_treedef(), leaves)
     return state._replace(key=jax.random.wrap_key_data(state.key))
 
@@ -403,10 +415,9 @@ class Tracker:
         if cfg.tracker.mode == "crop":
             spec = spec._replace(image_size=cfg.tracker.crop_size)
         self.spec = spec
-        if vit_params is None:
-            from vitparticlefiltertracker_tpu.models.params import load_or_init
+        from vitparticlefiltertracker_tpu.models.params import resolve_vit_params
 
-            vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
+        vit_params = resolve_vit_params(cfg, vit_params)
         # Weights live on device as jit ARGUMENTS (one H2D), never as
         # closure constants baked into the HLO (see build_tracker_fns).
         self.vit_params = jax.device_put(vit_params)

@@ -29,7 +29,7 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 CLIPS = [
     ("moving-square", {}),
-    ("occlusion", {"filter.lost_conf_threshold": 0.8}),
+    ("occlusion", {"filter.lost_conf_threshold": 0.6}),
     ("needle", {}),
     ("surveillance", {"filter.motion.sigma_pos": 4.0}),
 ]
@@ -143,15 +143,15 @@ def main() -> int:
             "triggers the re-detection hook (wider window + inflated "
             "diffusion) and gates template updates; enabling it cut "
             "occlusion RMSE ~2x in the threshold sweep.\n\n"
-            "The needle clip is the hard case by construction: position "
+            "The needle clip is the aperture-problem case: position "
             "*along* a thin, near-homogeneous target is weakly observable "
-            "(the aperture problem), and random-init ViT features carry no "
-            "learned shape prior — the tracker occasionally slides along "
-            "the needle axis. Sweeps over search_scale / roi_grid / "
-            "likelihood_zscale move the per-seed numbers without a "
-            "consistent win; the product answer is trained appearance "
-            "features, importable from any public ViT checkpoint with "
-            "tools/import_vit.py.\n"
+            "by any single pooled appearance vector (pooled-mode RMSE was "
+            "~45 px here). The default STRUCTURED appearance "
+            "(tracker.appearance: cells — per-cell cosine against a KxK "
+            "spatial template) restores the along-axis signal: the needle "
+            "ends score differently from its middle. Trained features "
+            "(tools/import_vit.py) remain the upgrade path for natural "
+            "video.\n"
         )
     with open(os.path.join(REPO, "docs", f"quality_{backend}.jsonl"), "w") as f:
         for r in rows:

@@ -140,6 +140,12 @@ class TrackerConfig:
     window_size: int = 256  # search-window resolution for window/window-pallas
     roi_grid: int = 5  # dense mode: KxK ROI-align samples per box (5 covers
     # elongated boxes — 3x3 undersamples a 60x8 needle and loses lock)
+    # Appearance representation (dense mode):
+    #   "pooled" — one mean-pooled vector per box (cheapest; K-independent)
+    #   "cells"  — keep the KxK ROI cells and score mean per-cell cosine:
+    #              preserves spatial layout inside the box (helps elongated
+    #              / aperture-prone targets at O(K) extra pooling cost)
+    appearance: str = "cells"
     # Dense mode: subtract the window-mean token embedding from every ROI
     # embedding (and the template) before cosine comparison. Mean-pooled ViT
     # features share a large global-context component that compresses all
@@ -169,6 +175,8 @@ class TrackerConfig:
             )
         if self.estimate not in ("mean", "mode"):
             raise ValueError("tracker.estimate must be 'mean' or 'mode'")
+        if self.appearance not in ("pooled", "cells"):
+            raise ValueError("tracker.appearance must be 'pooled' or 'cells'")
         return self
 
 

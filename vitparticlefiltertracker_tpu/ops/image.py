@@ -146,6 +146,32 @@ def roi_pool(
     return jnp.mean(samples, axis=(1, 2))
 
 
+def roi_cells_mxu(
+    feat: jax.Array,  # [Gh, Gw, D]
+    centers: jax.Array,  # [N, 2] grid coords (x, y)
+    sizes: jax.Array,  # [N, 2] grid units (w, h)
+    grid: int,
+) -> jax.Array:
+    """Per-cell ROI features WITHOUT pooling -> [N, K, K, D].
+
+    The structured-template appearance mode (tracker.appearance: "cells")
+    compares each of the KxK sample cells separately, preserving spatial
+    layout inside the box — what a single mean-pooled vector throws away
+    (and what elongated/aperture-prone targets need). Same separable
+    hat-weight lowering as roi_pool_mxu, kept per-sample instead of
+    averaged: two batched MXU contractions, no gathers.
+    """
+    gh, gw, d = feat.shape
+    t = (jnp.arange(grid, dtype=jnp.float32) + 0.5) / grid - 0.5
+    ys = centers[:, 1:2] + sizes[:, 1:2] * t[None, :]  # [N, K]
+    xs = centers[:, 0:1] + sizes[:, 0:1] * t[None, :]
+    wy = hat_weights(ys, gh)  # [N, K, Gh]
+    wx = hat_weights(xs, gw)  # [N, K, Gw]
+    f32 = feat.astype(jnp.float32)
+    a = jnp.einsum("nkr,rcd->nkcd", wy, f32)  # [N, K, Gw, D]
+    return jnp.einsum("njc,nkcd->nkjd", wx, a)  # [N, K(y), K(x), D]
+
+
 def roi_pool_mxu(
     feat: jax.Array,  # [Gh, Gw, D]
     centers: jax.Array,  # [N, 2] grid coords (x, y)

@@ -16,9 +16,26 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
     return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
 
 
+def _cos_to_template(embeddings: jax.Array, template: jax.Array) -> jax.Array:
+    """Cosine similarity of N embeddings to the template -> [N].
+
+    Two template shapes:
+      * [D]     — single pooled appearance vector: plain cosine.
+      * [C, D]  — STRUCTURED template (C spatial cells, each L2-normalized,
+        from ops/image.py:roi_cells_mxu): embeddings are [N, C, D] and the
+        score is the mean of per-cell cosines — preserving layout inside the
+        box, which a single pooled vector cannot (aperture-prone targets).
+    """
+    emb = l2_normalize(embeddings.astype(jnp.float32), axis=-1)
+    tmpl = template.astype(jnp.float32)
+    if template.ndim == 1:
+        return emb @ tmpl
+    return jnp.einsum("ncd,cd->n", emb, tmpl) / template.shape[0]
+
+
 def cosine_log_likelihood(
-    embeddings: jax.Array,  # [N, D]
-    template: jax.Array,  # [D] (assumed L2-normalized)
+    embeddings: jax.Array,  # [N, D] or [N, C, D]
+    template: jax.Array,  # [D] or [C, D] (L2-normalized per cell)
     temperature: float,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (log_likelihood [N], cosine similarities [N]).
@@ -26,14 +43,13 @@ def cosine_log_likelihood(
     loglik_n = temperature * cos(emb_n, template). Additive constants are
     irrelevant (weights get normalized), so no partition term is needed.
     """
-    emb = l2_normalize(embeddings.astype(jnp.float32))
-    cos = emb @ template.astype(jnp.float32)
+    cos = _cos_to_template(embeddings, template)
     return temperature * cos, cos
 
 
 def znormed_log_likelihood(
-    embeddings: jax.Array,  # [N, D]
-    template: jax.Array,  # [D] (assumed L2-normalized)
+    embeddings: jax.Array,  # [N, D] or [N, C, D]
+    template: jax.Array,  # [D] or [C, D] (L2-normalized per cell)
     temperature: float,
     eps: float = 1e-6,
 ) -> tuple[jax.Array, jax.Array]:
@@ -48,8 +64,7 @@ def znormed_log_likelihood(
     the filter's appearance/motion balance is invariant to the embedding
     scale. All ops are vectorized reductions — nothing leaves the device.
     """
-    emb = l2_normalize(embeddings.astype(jnp.float32))
-    cos = emb @ template.astype(jnp.float32)
+    cos = _cos_to_template(embeddings, template)
     mu = jnp.mean(cos)
     sd = jnp.std(cos)
     z = (cos - mu) / (sd + eps)

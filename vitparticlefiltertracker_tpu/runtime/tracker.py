@@ -45,6 +45,7 @@ from vitparticlefiltertracker_tpu.ops.image import (
     IMAGENET_STD,
     extract_window_mxu,
     frame_to_window_coords,
+    roi_cells_mxu,
     roi_pool_mxu,
 )
 from vitparticlefiltertracker_tpu.ops.likelihood import (
@@ -176,7 +177,12 @@ def build_tracker_fns(cfg: Config) -> _Fns:
             win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
             gxy = (win_px - (patch - 1) / 2.0) / patch  # feature-grid coords
             gwh = boxes_wh / side * s_img / patch
-            emb = roi_pool_mxu(feat, gxy, gwh, t.roi_grid)  # [M, D]
+            if t.appearance == "cells":
+                k = t.roi_grid
+                emb = roi_cells_mxu(feat, gxy, gwh, k)  # [M, K, K, D]
+                emb = emb.reshape(emb.shape[0], k * k, spec.dim)
+            else:
+                emb = roi_pool_mxu(feat, gxy, gwh, t.roi_grid)  # [M, D]
             if t.center_features:
                 emb = center_embeddings(emb, mean_emb)
             in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)

@@ -11,9 +11,9 @@ checks per case:
      matches EXACTLY (via digest), per BASELINE.json:5's fidelity clause.
 """
 
-import hashlib
 import json
 import os
+import sys
 
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +21,9 @@ import pytest
 
 from vitparticlefiltertracker_tpu.filters import particle as pf
 from vitparticlefiltertracker_tpu.oracle import numpy_filter as oracle
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from make_golden import draw_noise, idx_digest, true_position  # noqa: E402
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "pf_golden.jsonl")
 
@@ -35,26 +38,12 @@ def load_golden():
     return header, by_case
 
 
-def idx_digest(idx) -> str:
-    return hashlib.sha1(",".join(str(int(i)) for i in idx).encode()).hexdigest()[:16]
-
+# true_position / draw_noise / idx_digest come from tools/make_golden so the
+# replay here uses EXACTLY the generator's draw order; the committed golden
+# file (not code duplication) is what guards against accidental edits.
 
 HEADER, BY_CASE = load_golden()
 CASES = {c["name"]: c for c in HEADER["cases"]}
-
-
-def true_position(case_name: str, t: int) -> np.ndarray:
-    if case_name == "sinusoid":
-        return np.array([50.0 + 1.5 * t, 40.0 + 10.0 * np.sin(2 * np.pi * t / 25.0)])
-    return np.array([50.0 + 1.0 * t, 40.0 - 0.5 * t])
-
-
-def draw_noise(rng, n):
-    pos = rng.standard_normal((n, 2))
-    vel = rng.standard_normal((n, 2))
-    scale = rng.standard_normal((n,))
-    u = rng.random()
-    return pos, vel, scale, u
 
 
 @pytest.mark.parametrize("case_name", sorted(CASES))

@@ -47,20 +47,6 @@ def load(args) -> Config:
     return cfg.resolve()
 
 
-def _banked_bboxes(init_bbox, banks: int) -> np.ndarray:
-    """[K, 4] bboxes for K banks: tile a single box; pass through (and
-    validate) per-target boxes a multi-object source already provides."""
-    b = np.asarray(init_bbox, np.float32)
-    if b.ndim == 1:
-        return np.tile(b, (banks, 1))
-    if b.shape != (banks, 4):
-        raise ValueError(
-            f"source provides {b.shape[0]} init bboxes but runtime.banks="
-            f"{banks}; set runtime.banks to match the source's target count"
-        )
-    return b
-
-
 def cmd_track(cfg: Config, quiet: bool = False) -> int:
     from vitparticlefiltertracker_tpu.io.sink import JsonlSink, OverlaySink
     from vitparticlefiltertracker_tpu.io.video import open_source
@@ -83,10 +69,13 @@ def cmd_track(cfg: Config, quiet: bool = False) -> int:
         bbox = cfg.io.init_bbox
 
     if cfg.runtime.banks > 1:
-        from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+        from vitparticlefiltertracker_tpu.runtime.banked import (
+            MultiTracker,
+            banked_bboxes,
+        )
 
         tracker = MultiTracker(cfg)
-        tracker.init(frame0, _banked_bboxes(bbox, cfg.runtime.banks))
+        tracker.init(frame0, banked_bboxes(bbox, cfg.runtime.banks))
         for i, frame in enumerate(frames_iter):
             for rec in tracker.step(frame):
                 rec["frame"] = i + 1
@@ -142,10 +131,13 @@ def cmd_stream(cfg: Config, quiet: bool = False) -> int:
     if init_bbox is None:
         init_bbox = cfg.io.init_bbox
     if cfg.runtime.banks > 1:
-        from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+        from vitparticlefiltertracker_tpu.runtime.banked import (
+            MultiTracker,
+            banked_bboxes,
+        )
 
         tracker = MultiTracker(cfg)
-        init_bbox = _banked_bboxes(init_bbox, cfg.runtime.banks)
+        init_bbox = banked_bboxes(init_bbox, cfg.runtime.banks)
     else:
         from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
 

@@ -240,14 +240,9 @@ def window_gather_patchify_xla(
     (clamp-to-edge) followed by the patchify reshape and one embed matmul.
     The Pallas kernel must match this to f32 tolerance.
     """
+    from vitparticlefiltertracker_tpu.models.vit import patchify
     from vitparticlefiltertracker_tpu.ops.patchify import extract_crops
 
-    n = centers.shape[0]
-    c = window.shape[-1]
-    p = patch_size
-    g = crop_size // p
     crops = extract_crops(window.astype(jnp.float32), centers, sizes, crop_size)
-    x = crops.reshape(n, g, p, g, p, c).transpose(0, 1, 3, 2, 4, 5)
-    toks = x.reshape(n, g * g, p * p * c)
-    out = toks.astype(kernel.dtype) @ kernel + bias.astype(kernel.dtype)
-    return out
+    toks = patchify(crops, patch_size)  # [N, g*g, p*p*C], canonical layout
+    return toks.astype(kernel.dtype) @ kernel + bias.astype(kernel.dtype)

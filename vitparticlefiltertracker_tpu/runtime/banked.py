@@ -26,10 +26,21 @@ from vitparticlefiltertracker_tpu.parallel.mesh import (
     replicated,
     vit_param_sharding,
 )
-from vitparticlefiltertracker_tpu.runtime.tracker import (
-    TrackerState,
-    build_tracker_fns,
-)
+from vitparticlefiltertracker_tpu.runtime.tracker import build_tracker_fns
+
+
+def banked_bboxes(init_bbox, banks: int) -> np.ndarray:
+    """[K, 4] bboxes for K banks: tile a single box; pass through (and
+    validate) per-target boxes a multi-object source already provides."""
+    b = np.asarray(init_bbox, np.float32)
+    if b.ndim == 1:
+        return np.tile(b, (banks, 1))
+    if b.shape != (banks, 4):
+        raise ValueError(
+            f"source provides {b.shape[0]} init bboxes but runtime.banks="
+            f"{banks}; set runtime.banks to match the source's target count"
+        )
+    return b
 
 
 def build_banked_fns(cfg: Config):

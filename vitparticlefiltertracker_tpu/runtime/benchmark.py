@@ -56,11 +56,13 @@ def run_benchmark(
     _log(f"clip ready: {frames.shape}", verbose)
 
     if cfg.runtime.banks > 1:
-        from vitparticlefiltertracker_tpu.cli import _banked_bboxes
-        from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+        from vitparticlefiltertracker_tpu.runtime.banked import (
+            MultiTracker,
+            banked_bboxes,
+        )
 
         tracker = MultiTracker(cfg)
-        tracker.init(frames[0], _banked_bboxes(init_bbox, cfg.runtime.banks))
+        tracker.init(frames[0], banked_bboxes(init_bbox, cfg.runtime.banks))
     else:
         from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
 

@@ -36,7 +36,6 @@ from vitparticlefiltertracker_tpu.filters.particle import (
 from vitparticlefiltertracker_tpu.models.vit import (
     VitSpec,
     encode_tokens,
-    init_vit_params,
     pool_tokens,
     vit_forward_tokens,
 )

@@ -121,30 +121,69 @@ def test_frame_pump_error_propagates():
 
 
 def test_frame_pump_concurrent_consumers_race():
-    """Two consumers draining one pump must partition the stream exactly
-    (queue semantics — no duplicates, no losses)."""
+    """Multiple consumers draining one pump must partition the stream exactly
+    (queue semantics — no duplicates, no losses) and NO consumer may die.
+    Round-1 ADVICE: the old generator-based iterator raised 'generator
+    already executing' in one thread and the test still passed because the
+    survivor drained everything — consumer crashes are now captured and
+    asserted against."""
     n = 300
     pump = FramePump((np.full((2, 2, 3), i % 251, np.uint8) for i in range(n)), depth=4)
     it = iter(pump)
     seen = []
+    crashes = []
     lock = threading.Lock()
 
     def consume():
-        while True:
-            try:
-                f = next(it)
-            except StopIteration:
-                return
+        try:
+            while True:
+                try:
+                    f = next(it)
+                except StopIteration:
+                    return
+                with lock:
+                    seen.append(int(f[0, 0, 0]))
+        except BaseException as e:  # noqa: BLE001 — the point is to catch all
             with lock:
-                seen.append(int(f[0, 0, 0]))
+                crashes.append(e)
 
-    threads = [threading.Thread(target=consume) for _ in range(2)]
+    threads = [threading.Thread(target=consume) for _ in range(4)]
     for t in threads:
         t.start()
     for t in threads:
         t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads), "consumer wedged"
+    assert crashes == [], f"consumer thread(s) crashed: {crashes}"
     want = [i % 251 for i in range(n)]
     assert sorted(seen) == sorted(want)
+
+
+def test_frame_pump_error_propagates_once_to_concurrent_consumers():
+    """A producer error must surface in exactly ONE consumer; the rest see
+    clean StopIteration (otherwise multi-consumer error handling double-fires)."""
+    def gen():
+        yield np.zeros((2, 2, 3), np.uint8)
+        raise RuntimeError("decode failed")
+
+    pump = FramePump(gen(), depth=2)
+    it = iter(pump)
+    errors = []
+    lock = threading.Lock()
+
+    def consume():
+        try:
+            for _ in it:
+                pass
+        except RuntimeError as e:
+            with lock:
+                errors.append(e)
+
+    threads = [threading.Thread(target=consume) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert len(errors) == 1 and "decode failed" in str(errors[0])
 
 
 # ---------------------------------------------------------------------------

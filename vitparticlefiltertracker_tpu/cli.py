@@ -77,9 +77,12 @@ def cmd_track(cfg: Config, quiet: bool = False) -> int:
         tracker = MultiTracker(cfg)
         tracker.init(frame0, banked_bboxes(bbox, cfg.runtime.banks))
         for i, frame in enumerate(frames_iter):
-            for rec in tracker.step(frame):
+            recs = tracker.step(frame)
+            for rec in recs:
                 rec["frame"] = i + 1
                 sink.write(rec)
+            if overlay is not None:
+                overlay.write_multi(frame, recs)
             count += 1
     else:
         from vitparticlefiltertracker_tpu.runtime.tracker import Tracker

@@ -8,8 +8,9 @@ Python consumes zero-copy numpy views into the ring. Sources:
   * NativeSyntheticSource — C++ procedural moving-square clip
 
 Both duck-type the FrameSource protocol (io/video.py) and expose
-`init_bbox` / `truth` like the Python synthetic source. If the shared
-library is missing it is built on demand (`make -C native`); if that fails,
+`init_bbox` / `truth` like the Python synthetic source. The shared library
+is never committed; it is (re)built on demand (`make -C native`, which is a
+no-op when libvpt_io.so is newer than vpt_io.cpp). If the build fails,
 callers should fall back to the Python sources.
 """
 
@@ -36,7 +37,10 @@ def load_library(build_if_missing: bool = True):
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and build_if_missing:
+    if build_if_missing and os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+        # make's own mtime check makes this a fast no-op when the .so is
+        # current, and rebuilds it when vpt_io.cpp is newer (the library is
+        # host-built, never committed — see ADVICE round 1).
         subprocess.run(
             ["make", "-C", _NATIVE_DIR], check=False, capture_output=True
         )

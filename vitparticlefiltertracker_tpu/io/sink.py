@@ -47,7 +47,16 @@ def _np_default(o):
 
 
 class OverlaySink:
-    """Draw the tracked box on each frame and encode a video (cv2-gated)."""
+    """Draw the tracked box(es) on each frame and encode a video (cv2-gated).
+
+    `write` takes one record (single-target) or `write_multi` a list of K
+    records (one per filter bank) — every bank's box is drawn, color-cycled.
+    """
+
+    _BANK_COLORS = [  # BGR; index = bank % len
+        (0, 255, 0), (255, 160, 0), (0, 200, 255), (255, 0, 200),
+        (180, 255, 0), (0, 120, 255), (255, 0, 80), (120, 0, 255),
+    ]
 
     def __init__(self, path: str, fps: float = 30.0):
         self.path = path
@@ -55,6 +64,9 @@ class OverlaySink:
         self._writer = None
 
     def write(self, frame: np.ndarray, record: dict[str, Any]) -> None:
+        self.write_multi(frame, [record])
+
+    def write_multi(self, frame: np.ndarray, records: list[dict[str, Any]]) -> None:
         import cv2
 
         if self._writer is None:
@@ -63,16 +75,21 @@ class OverlaySink:
                 self.path, cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h)
             )
         img = cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
-        x, y = record["position"]
-        bw, bh = record["box"]
-        color = (0, 0, 255) if record.get("lost") else (0, 255, 0)
-        cv2.rectangle(
-            img,
-            (int(x - bw / 2), int(y - bh / 2)),
-            (int(x + bw / 2), int(y + bh / 2)),
-            color,
-            2,
-        )
+        for k, record in enumerate(records):
+            x, y = record["position"]
+            bw, bh = record["box"]
+            color = (
+                (0, 0, 255)
+                if record.get("lost")
+                else self._BANK_COLORS[k % len(self._BANK_COLORS)]
+            )
+            cv2.rectangle(
+                img,
+                (int(x - bw / 2), int(y - bh / 2)),
+                (int(x + bw / 2), int(y + bh / 2)),
+                color,
+                2,
+            )
         self._writer.write(img)
 
     def close(self) -> None:

@@ -57,7 +57,12 @@ def _unflatten(flat: dict):
 
 
 def save_params(path: str, params) -> None:
-    """Save a param pytree. `.npz` for portability; orbax for dirs."""
+    """Save a param pytree. `.npz` for portability; orbax for dirs.
+
+    Both formats carry the `__vpt_format__` layout-version marker (the orbax
+    tree is wrapped as {"__vpt_format__", "params"}) so a pre-layout-change
+    checkpoint can't silently scramble attention on load — round-1 ADVICE.
+    """
     if path.endswith(".npz"):
         flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
         flat["__vpt_format__"] = np.asarray(FORMAT_VERSION)
@@ -66,7 +71,8 @@ def save_params(path: str, params) -> None:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), params, force=True)
+    wrapped = {"__vpt_format__": np.asarray(FORMAT_VERSION), "params": params}
+    ckptr.save(os.path.abspath(path), wrapped, force=True)
     ckptr.wait_until_finished()
 
 
@@ -93,7 +99,24 @@ def load_params(path: str):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    tree = ckptr.restore(os.path.abspath(path))
+    if isinstance(tree, dict) and "__vpt_format__" in tree:
+        version = int(np.asarray(tree["__vpt_format__"]))
+        if version != FORMAT_VERSION:
+            raise ValueError(
+                f"{path}: param format v{version}, this build expects "
+                f"v{FORMAT_VERSION}"
+            )
+        return tree["params"]
+    import warnings
+
+    warnings.warn(
+        f"{path} is an unversioned orbax checkpoint; if it was written "
+        "before the head-major wqkv layout (format v2), attention weights "
+        "will be scrambled — re-export with tools/import_vit.py",
+        stacklevel=2,
+    )
+    return tree
 
 
 def load_or_init(checkpoint: str, spec: VitSpec, seed: int = 0):

@@ -52,6 +52,7 @@ def znormed_log_likelihood(
     template: jax.Array,  # [D] or [C, D] (L2-normalized per cell)
     temperature: float,
     eps: float = 1e-6,
+    mask: jax.Array | None = None,  # [N] bool: True = valid particle
 ) -> tuple[jax.Array, jax.Array]:
     """Self-normalizing likelihood: temperature * zscore_over_particles(cos).
 
@@ -63,10 +64,24 @@ def znormed_log_likelihood(
     log-weight SPREAD to `temperature` standard deviations every frame, so
     the filter's appearance/motion balance is invariant to the embedding
     scale. All ops are vectorized reductions — nothing leaves the device.
+
+    `mask` excludes invalid particles (out of the search window — their
+    clamped-edge cosines are garbage) from the mu/sd statistics; this matters
+    most during lost/re-detect, when boosted noise pushes many particles out
+    of the window and unmasked stats would be dominated by edge artifacts
+    (round-1 ADVICE finding). Masked entries still receive a z-score (from
+    the valid-set statistics); the caller down-weights them separately.
     """
     cos = _cos_to_template(embeddings, template)
-    mu = jnp.mean(cos)
-    sd = jnp.std(cos)
+    if mask is None:
+        mu = jnp.mean(cos)
+        sd = jnp.std(cos)
+    else:
+        m = mask.astype(cos.dtype)
+        count = jnp.maximum(jnp.sum(m), 1.0)
+        mu = jnp.sum(cos * m) / count
+        var = jnp.sum(jnp.square(cos - mu) * m) / count
+        sd = jnp.sqrt(var)
     z = (cos - mu) / (sd + eps)
     return temperature * z, cos
 

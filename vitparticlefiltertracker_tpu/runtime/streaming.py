@@ -29,6 +29,13 @@ class FramePump:
     The queue bound provides backpressure so a fast decoder can't overrun
     host memory; `depth` ~ 2-4 is enough to hide decode jitter (classic
     double/triple buffering).
+
+    The pump is its own (thread-safe) iterator: `__next__` is a single
+    atomic `queue.get`, so multiple consumer threads may drain one pump
+    concurrently and partition the stream exactly. (A plain generator here
+    would raise "generator already executing" under concurrent `next()` —
+    round-1 ADVICE finding.) The end-of-stream sentinel is re-enqueued on
+    observation so every consumer, not just the first, sees StopIteration.
     """
 
     _SENTINEL = object()
@@ -37,6 +44,8 @@ class FramePump:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._thread = threading.Thread(target=self._run, args=(source,), daemon=True)
         self._err: BaseException | None = None
+        self._err_raised = False
+        self._err_lock = threading.Lock()
         self._thread.start()
 
     def _run(self, source) -> None:
@@ -49,13 +58,21 @@ class FramePump:
             self._q.put(self._SENTINEL)
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        while True:
-            item = self._q.get()
-            if item is self._SENTINEL:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        return self
+
+    def __next__(self) -> np.ndarray:
+        item = self._q.get()
+        if item is self._SENTINEL:
+            # Put the sentinel back so every other concurrent consumer also
+            # terminates (the queue has room: producer is done).
+            self._q.put(self._SENTINEL)
+            if self._err is not None:
+                with self._err_lock:
+                    if not self._err_raised:  # raise once, not per consumer
+                        self._err_raised = True
+                        raise self._err
+            raise StopIteration
+        return item
 
 
 def stream_track(

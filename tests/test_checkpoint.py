@@ -127,7 +127,8 @@ def test_state_legacy_positional_checkpoint_loads(tmp_path):
     tr = Tracker(cfg)
     tr.init(frames[0], src.init_bbox)
     state = tr.state._replace(key=jax.random.key_data(tr.state.key))
-    leaves = jax.tree_util.tree_leaves(state)
+    # Round-1 states had no lost_count leaf (the last field): 11 leaves.
+    leaves = jax.tree_util.tree_leaves(state)[:11]
 
     full = str(tmp_path / "legacy_full.npz")
     np.savez(full, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})

@@ -164,6 +164,20 @@ class TrackerConfig:
     # larger area until the appearance likelihood re-locks.
     redetect_window_boost: float = 1.5
     redetect_noise_boost: float = 2.0
+    # GLOBAL re-detection (SURVEY.md §5.3; reference README.md:3 robustness):
+    # after `redetect_global_after` consecutive lost frames, score a coarse
+    # GxG grid of candidate boxes over the WHOLE frame (one extra ViT
+    # forward, executed only on the lost path via lax.cond) and re-seed the
+    # particle cloud at the best match if its cosine clears
+    # `redetect_accept_conf`. Recovers targets that left the (frozen) search
+    # window entirely during occlusion — the local window/noise boost above
+    # cannot. 0 disables. Requires lost detection (filter.lost_conf_threshold
+    # > 0). NOTE: in banked (vmapped) trackers lax.cond lowers to select, so
+    # the global scan's cost is paid EVERY step — leave disabled there or
+    # accept the overhead.
+    redetect_global_after: int = 0
+    redetect_global_grid: int = 7
+    redetect_accept_conf: float = 0.0
     estimate: str = "mean"  # "mean" | "mode" (highest-weight particle)
 
     def resolve(self) -> "TrackerConfig":

@@ -56,6 +56,12 @@ def make_clip(
       needle          — thin bright elongated target (medical use case,
                         reference README.md:48)
       surveillance    — small fast target on busy background (README.md:50)
+      teleport        — target vanishes mid-clip and REAPPEARS at a distant
+                        location (exercises global re-detection: the local
+                        search window cannot recover this; README.md:3
+                        "dynamic and complex environments"). Truth during
+                        the hidden gap is pinned to the reappearance point;
+                        score only frames after `teleport_times()[1]`.
     """
     rng = np.random.default_rng(seed)
     bg = _textured_background(rng, height, width)
@@ -91,17 +97,26 @@ def make_clip(
     speed = 2.0 * scale
     amp = height * 0.12
 
+    t_hide, t_show = teleport_times(num_frames)
     frames = np.empty((num_frames, height, width, 3), np.uint8)
     truth = np.empty((num_frames, 2), np.float32)
     for t in range(num_frames):
         cx = cx0 + speed * t
         cy = cy0 + amp * np.sin(2 * np.pi * t / max(30, num_frames))
+        visible = True
+        if name == "teleport" and t >= t_hide:
+            # Re-entry point far from the pre-gap trajectory (different
+            # frame quadrant), then slow linear motion.
+            cx = width * 0.75 + 0.5 * speed * max(0, t - t_show)
+            cy = height * 0.72
+            visible = t >= t_show
         cx = np.clip(cx, margin, width - margin)
         cy = np.clip(cy, margin, height - margin)
         f = bg.copy()
         # mild background flicker / sensor noise
         f += rng.normal(0, 2.0, size=f.shape)
-        _draw_target(f, cx, cy, tw, th, pattern)
+        if visible:
+            _draw_target(f, cx, cy, tw, th, pattern)
         if name == "occlusion" and num_frames // 3 <= t < num_frames // 3 + max(5, num_frames // 6):
             # occluder bar sweeps across the target region
             ox = int(cx - tw)
@@ -113,6 +128,12 @@ def make_clip(
         [truth[0, 0] - tw / 2, truth[0, 1] - th / 2, tw, th], np.float32
     )
     return frames, truth, init_bbox
+
+
+def teleport_times(num_frames: int) -> tuple[int, int]:
+    """(hide_frame, reappear_frame) for the `teleport` clip."""
+    t_hide = num_frames // 3
+    return t_hide, t_hide + max(4, num_frames // 8)
 
 
 def make_multi_clip(

@@ -73,6 +73,7 @@ class TrackerState(NamedTuple):
     frame_idx: jax.Array  # [] int32
     conf: jax.Array  # [] f32 last appearance confidence (max cosine)
     lost: jax.Array  # [] bool target-lost flag (SURVEY.md §5.3)
+    lost_count: jax.Array  # [] int32 consecutive lost frames (global re-detect)
 
 
 class TrackOutput(NamedTuple):
@@ -267,6 +268,7 @@ def build_tracker_fns(cfg: Config) -> _Fns:
             frame_idx=jnp.int32(0),
             conf=jnp.float32(1.0),
             lost=jnp.asarray(False),
+            lost_count=jnp.int32(0),
         )
 
     # ---- step -------------------------------------------------------------
@@ -332,8 +334,71 @@ def build_tracker_fns(cfg: Config) -> _Fns:
 
         # When lost, freeze the search window instead of chasing noise.
         new_center = jnp.where(lost, state.center, est_xy)
+        lost_count = jnp.where(lost, state.lost_count + 1, jnp.int32(0))
+        new_pf = out.state
+
+        # ---- GLOBAL re-detection (SURVEY.md §5.3) --------------------------
+        # The local boost above only widens the (frozen) window; a target
+        # that left it entirely during occlusion is unrecoverable locally.
+        # After `redetect_global_after` consecutive lost frames, score a
+        # coarse grid of candidate boxes over the WHOLE frame against the
+        # anchored template and re-seed the cloud at the best match. The
+        # extra ViT forward lives in a lax.cond branch, so it executes only
+        # on the lost path (HLO conditional; under vmap it becomes a select
+        # and is paid every step — see config.py redetect_global_after).
+        n_after = t.redetect_global_after
+        if n_after > 0:
+            g = t.redetect_global_grid
+            h_px, w_px = int(frame_u8.shape[0]), int(frame_u8.shape[1])
+            gxs = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (w_px / g)
+            gys = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (h_px / g)
+            cand_xy = jnp.stack(
+                [jnp.tile(gxs, g), jnp.repeat(gys, g)], axis=-1
+            )  # [G*G, 2] row-major over the frame
+            frame_ctr = jnp.asarray([w_px / 2.0, h_px / 2.0], jnp.float32)
+            frame_side = jnp.float32(max(h_px, w_px))
+            trigger = lost_count >= n_after
+
+            def scan_fn(_):
+                pool_g = make_embedder(prm, frame_f32, frame_ctr, frame_side)
+                cand_wh = jnp.broadcast_to(
+                    state.box_wh * state.prev_scale, cand_xy.shape
+                )
+                emb_g, valid_g = pool_g(cand_xy, cand_wh)
+                _, cos_g = cosine_log_likelihood(emb_g, tmpl, 1.0)
+                cos_g = jnp.where(valid_g, cos_g, -2.0)
+                b = jnp.argmax(cos_g)
+                return cand_xy[b], cos_g[b]
+
+            best_xy, best_cos = jax.lax.cond(
+                trigger, scan_fn, lambda _: (state.center, jnp.float32(-2.0)), None
+            )
+            accept = trigger & (best_cos >= t.redetect_accept_conf)
+            # Re-seed: fresh cloud spread over the winning grid cell, zero
+            # velocity, uniform weights. Distinct RNG stream from the step
+            # noise: split(k, n)[i] == fold_in(k, i) in threefry, so the fold
+            # constant must sit far outside draw_step_noise's split range.
+            rk = jax.random.fold_in(
+                jax.random.fold_in(state.key, state.frame_idx), 0x5EED1
+            )
+            cell_sigma = jnp.asarray([w_px / g, h_px / g], jnp.float32) / 4.0
+            reseed_pos = best_xy[None, :] + cell_sigma * jax.random.normal(
+                rk, (n, 2), jnp.float32
+            )
+            reseeded = jnp.concatenate(
+                [reseed_pos, jnp.zeros((n, 2), jnp.float32), new_pf.particles[:, 4:]],
+                axis=1,
+            )
+            uniform_w = jnp.full((n,), -jnp.log(jnp.float32(n)), jnp.float32)
+            new_pf = PFState(
+                particles=jnp.where(accept, reseeded, new_pf.particles),
+                log_weights=jnp.where(accept, uniform_w, new_pf.log_weights),
+            )
+            new_center = jnp.where(accept, best_xy, new_center)
+            lost_count = jnp.where(accept, jnp.int32(0), lost_count)
+
         new_state = TrackerState(
-            pf=out.state,
+            pf=new_pf,
             template=template,
             anchor=state.anchor,
             box_wh=state.box_wh,
@@ -343,6 +408,7 @@ def build_tracker_fns(cfg: Config) -> _Fns:
             frame_idx=state.frame_idx + 1,
             conf=conf,
             lost=lost,
+            lost_count=lost_count,
         )
         track_out = TrackOutput(
             position=est_xy,
@@ -442,6 +508,9 @@ def _state_from_named(flat: dict, path: str) -> TrackerState:
         frame_idx=get("frame_idx"),
         conf=get("conf"),
         lost=get("lost"),
+        # Added after v1 shipped: files without it resume with a fresh count
+        # (shape-matched to frame_idx so banked states keep their bank axis).
+        lost_count=get("lost_count", np.zeros_like(flat["frame_idx"], np.int32)),
     )
 
 

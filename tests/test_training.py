@@ -1,0 +1,115 @@
+"""Feature-training subsystem (training/): data generator, objective, loop.
+
+The reference ships no weights (SURVEY.md §0); training/ learns them in-repo.
+These tests pin the on-device generator's contract, the objective's
+gradient flow through the inference embedder, and the end-to-end loop's
+checkpoint interop with the Tracker.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.training.data import make_pair_batch
+from vitparticlefiltertracker_tpu.training.objective import batch_loss, ring_offsets
+from vitparticlefiltertracker_tpu.training.train import (
+    _decay_mask,
+    build_train_step,
+    train_features,
+)
+
+
+def tiny_train_cfg(**train_over):
+    d = {
+        "model": {"variant": "custom", "depth": 2, "dim": 64, "heads": 2,
+                  "mlp_dim": 128, "patch_size": 16, "image_size": 64,
+                  "dtype": "float32", "use_flash_attention": False},
+        "train": {"steps": 8, "batch_size": 4, "canvas": 96, "window": 64,
+                  "lr": 1e-3, "warmup": 2, "log_every": 4,
+                  "checkpoint_out": ""},
+    }
+    d["train"].update(train_over)
+    return Config.from_dict(d)
+
+
+def test_pair_batch_shapes_and_ranges():
+    b = make_pair_batch(jax.random.key(0), batch=3, size=96)
+    assert b.frame0.shape == (3, 96, 96, 3) and b.frame1.shape == (3, 96, 96, 3)
+    assert b.p0.shape == (3, 2) and b.wh.shape == (3, 2)
+    f0 = np.asarray(b.frame0)
+    assert f0.min() >= 0.0 and f0.max() <= 255.0
+    assert float(f0.std()) > 10.0  # textured, not blank
+    # Targets inside the frame with margin.
+    assert np.all(np.asarray(b.p1) > 0.1 * 96) and np.all(np.asarray(b.p1) < 0.9 * 96)
+    assert np.all(np.asarray(b.wh) >= 5.0)
+
+
+def test_pair_batch_counter_deterministic():
+    a = make_pair_batch(jax.random.key(7), 2, 64)
+    b = make_pair_batch(jax.random.key(7), 2, 64)
+    np.testing.assert_array_equal(np.asarray(a.frame1), np.asarray(b.frame1))
+    c = make_pair_batch(jax.random.key(8), 2, 64)
+    assert np.abs(np.asarray(a.frame1) - np.asarray(c.frame1)).mean() > 1.0
+
+
+def test_ring_offsets_clear_of_target():
+    offs = np.asarray(ring_offsets())
+    assert offs.shape == (24, 2)
+    # Every negative is at least one box-size away from the true center.
+    assert np.all(np.linalg.norm(offs, axis=1) >= 1.0 - 1e-6)
+
+
+def test_decay_mask_kernels_only():
+    cfg = tiny_train_cfg()
+    init_fn, _ = build_train_step(cfg)
+    params, _ = jax.jit(init_fn)()
+    mask = _decay_mask(params)
+    assert mask["patch_embed"]["kernel"] is True
+    assert mask["patch_embed"]["bias"] is False
+    assert mask["blocks"]["attn"]["wqkv"] is True
+    assert mask["blocks"]["ln1"]["scale"] is False
+    assert mask["pos_embed"] is False
+
+
+def test_train_step_reduces_loss_and_flows_grads():
+    cfg = tiny_train_cfg(steps=2)
+    init_fn, step_fn = build_train_step(cfg)
+    params, opt = jax.jit(init_fn)()
+    step_jit = jax.jit(step_fn)
+    p0 = params["patch_embed"]["kernel"].copy()
+    params, opt, metrics = step_jit(params, opt, jnp.int32(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0.0
+    # Step 0 applies LR 0 (warmup ramp starts at zero); step 1 must move the
+    # weights — the gradient reaches the patch embed through the whole
+    # window->ViT->ROI->cosine->softmax chain.
+    params, opt, metrics = step_jit(params, opt, jnp.int32(1))
+    assert np.abs(np.asarray(params["patch_embed"]["kernel"]) - np.asarray(p0)).max() > 0
+
+
+def test_train_features_end_to_end_checkpoint_tracks(tmp_path):
+    """Trained checkpoint loads via model.checkpoint and the tracker runs."""
+    ckpt = str(tmp_path / "trained.npz")
+    cfg = tiny_train_cfg(steps=6, checkpoint_out=ckpt)
+    lines = []
+    train_features(cfg, log=lines.append)
+    assert any("loss" in s for s in lines)
+
+    from vitparticlefiltertracker_tpu.io.video import open_source
+    from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+
+    tcfg = Config.from_dict({
+        "model": {"variant": "custom", "depth": 2, "dim": 64, "heads": 2,
+                  "mlp_dim": 128, "patch_size": 16, "image_size": 64,
+                  "dtype": "float32", "use_flash_attention": False,
+                  "checkpoint": ckpt},
+        "filter": {"num_particles": 64},
+        "tracker": {"mode": "dense"},
+    })
+    src = open_source("synthetic:moving-square", 5, (128, 128))
+    frames = list(src)
+    tr = Tracker(tcfg)
+    tr.init(frames[0], src.init_bbox)
+    recs = [tr.step(f) for f in frames[1:]]
+    assert all(np.isfinite(r["position"]).all() for r in recs)

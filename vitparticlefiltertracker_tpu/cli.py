@@ -21,7 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="vpt", description="TPU-native ViT + particle-filter tracker"
     )
     p.add_argument(
-        "command", nargs="?", default="track", choices=["track", "bench", "stream"]
+        "command",
+        nargs="?",
+        default="track",
+        choices=["track", "bench", "stream", "train"],
     )
     p.add_argument("--config", "-c", default="", help="path to config.yaml")
     p.add_argument(
@@ -160,6 +163,14 @@ def cmd_stream(cfg: Config, quiet: bool = False) -> int:
     return 0
 
 
+def cmd_train(cfg: Config, quiet: bool = False) -> int:
+    """Train ViT appearance features in-repo (training/, config `train:`)."""
+    from vitparticlefiltertracker_tpu.training.train import train_features
+
+    train_features(cfg, log=(lambda s: None) if quiet else None)
+    return 0
+
+
 def main(argv=None) -> int:
     from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
 
@@ -170,6 +181,8 @@ def main(argv=None) -> int:
         return cmd_bench(cfg, args.quiet)
     if args.command == "stream":
         return cmd_stream(cfg, args.quiet)
+    if args.command == "train":
+        return cmd_train(cfg, args.quiet)
     return cmd_track(cfg, args.quiet)
 
 

@@ -221,17 +221,50 @@ class RuntimeConfig:
 
 
 @dataclass
+class TrainConfig:
+    """Feature training (`vpt train`, training/): learn the ViT appearance
+    features in-repo on procedurally generated scene pairs — the reference
+    ships no weights (SURVEY.md §0). The objective is localization InfoNCE
+    through the dense inference embedder (training/objective.py)."""
+
+    steps: int = 2000
+    batch_size: int = 32
+    canvas: int = 160  # generated scene size (px, square)
+    window: int = 0  # train-time ViT window px; 0 = model.image_size
+    lr: float = 3e-4
+    weight_decay: float = 0.05
+    warmup: int = 100  # linear LR warmup steps (then cosine decay)
+    tau: float = 0.07  # InfoNCE temperature on the cosine logits
+    num_random_negatives: int = 8  # random window boxes added to the ring
+    template_jitter: float = 0.05  # template-box jitter, units of box size
+    seed: int = 0
+    checkpoint_out: str = "checkpoints/vit_trained.npz"
+    metrics_out: str = ""  # JSONL metrics path ("" = stderr only)
+    log_every: int = 50
+    dtype: str = "float32"  # training compute dtype ("float32"|"bfloat16")
+
+    def resolve(self) -> "TrainConfig":
+        if self.steps <= 0 or self.batch_size <= 0:
+            raise ValueError("train.steps and train.batch_size must be positive")
+        if self.dtype not in ("float32", "bfloat16"):
+            raise ValueError("train.dtype must be 'float32' or 'bfloat16'")
+        return self
+
+
+@dataclass
 class Config:
     model: ModelConfig = field(default_factory=ModelConfig)
     filter: FilterConfig = field(default_factory=FilterConfig)
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     io: IOConfig = field(default_factory=IOConfig)
     runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
 
     def resolve(self) -> "Config":
         self.model.resolve()
         self.filter.resolve()
         self.tracker.resolve()
+        self.train.resolve()
         return self
 
     # -- serialization ------------------------------------------------------

@@ -33,22 +33,22 @@ from vitparticlefiltertracker_tpu.filters.particle import (
     pf_update,
     propagate,
 )
+from vitparticlefiltertracker_tpu.models.embedder import (
+    DenseEmbedSpec,
+    make_dense_embedder,
+)
 from vitparticlefiltertracker_tpu.models.vit import (
     VitSpec,
     encode_tokens,
     pool_tokens,
-    vit_forward_tokens,
 )
 from vitparticlefiltertracker_tpu.ops.image import (
     IMAGENET_MEAN,
     IMAGENET_STD,
     extract_window_mxu,
     frame_to_window_coords,
-    roi_cells_mxu,
-    roi_pool_mxu,
 )
 from vitparticlefiltertracker_tpu.ops.likelihood import (
-    center_embeddings,
     cosine_log_likelihood,
     l2_normalize,
     znormed_log_likelihood,
@@ -101,17 +101,6 @@ def _pf_params(cfg: Config) -> PFParams:
     )
 
 
-def _normalize_window(window_raw: jax.Array) -> jax.Array:
-    """Normalize an already-extracted uint8-valued float window.
-
-    Normalization is affine, so it commutes with bilinear sampling — doing it
-    after extraction touches S*S px instead of the whole frame.
-    """
-    mean = jnp.asarray(IMAGENET_MEAN, window_raw.dtype) * 255.0
-    std = jnp.asarray(IMAGENET_STD, window_raw.dtype) * 255.0
-    return (window_raw - mean) / std
-
-
 def _window_side(box_wh: jax.Array, scale: jax.Array, search_scale: float) -> jax.Array:
     return search_scale * jnp.sqrt(box_wh[0] * box_wh[1]) * scale
 
@@ -145,7 +134,6 @@ def build_tracker_fns(cfg: Config) -> _Fns:
     mode = t.mode
     s_img = cfg.model.image_size if mode == "dense" else t.crop_size
     patch = cfg.model.patch_size
-    grid = s_img // patch
     ema = t.template_ema
     upd_conf = t.template_update_conf
     anchor_mix = t.template_anchor_mix
@@ -157,38 +145,16 @@ def build_tracker_fns(cfg: Config) -> _Fns:
         spec = spec._replace(use_pos_embed=False)
 
     # ---- appearance embedding -------------------------------------------
-    # make_embedder returns a pool(boxes_xy, boxes_wh) closure so that the
-    # per-frame work (window extraction + the ViT forward) is computed ONCE
-    # per frame *by construction*, however many box sets are embedded
-    # (particles, then the template-EMA estimate) — not left to XLA CSE.
-    def make_dense_embedder(prm, frame_f32, center, side):
-        """One ViT forward on the search window; pool() ROI-pools any boxes.
-        boxes_xy: [M, 2] frame-px centers; boxes_wh: [M, 2] frame-px sizes."""
-        window = _normalize_window(extract_window_mxu(frame_f32, center, side, s_img))
-        feat = vit_forward_tokens(prm, window[None], spec)[0]
-        feat = feat.reshape(grid, grid, spec.dim)
-        # Window's shared-context component (see ops/likelihood.py:
-        # center_embeddings) — template and particles are centered by the
-        # same window mean, so cosines compare appearance, not global image
-        # statistics.
-        mean_emb = jnp.mean(feat.reshape(-1, spec.dim), axis=0)
-
-        def pool(boxes_xy, boxes_wh):
-            win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
-            gxy = (win_px - (patch - 1) / 2.0) / patch  # feature-grid coords
-            gwh = boxes_wh / side * s_img / patch
-            if t.appearance == "cells":
-                k = t.roi_grid
-                emb = roi_cells_mxu(feat, gxy, gwh, k)  # [M, K, K, D]
-                emb = emb.reshape(emb.shape[0], k * k, spec.dim)
-            else:
-                emb = roi_pool_mxu(feat, gxy, gwh, t.roi_grid)  # [M, D]
-            if t.center_features:
-                emb = center_embeddings(emb, mean_emb)
-            in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
-            return emb, in_win
-
-        return pool
+    # The dense path lives in models/embedder.py so the feature trainer
+    # (training/) differentiates through the EXACT inference code.
+    dense_es = DenseEmbedSpec(
+        vit=spec,
+        s_img=s_img,
+        patch=patch,
+        appearance=t.appearance,
+        roi_grid=t.roi_grid,
+        center_features=t.center_features,
+    )
 
     def _norm_folded_embed_weights(prm):
         """Fold pixel normalization into the patch-embed affine map:
@@ -242,7 +208,7 @@ def build_tracker_fns(cfg: Config) -> _Fns:
 
     def make_embedder(prm, frame_f32, center, side):
         if mode == "dense":
-            return make_dense_embedder(prm, frame_f32, center, side)
+            return make_dense_embedder(prm, frame_f32, center, side, dense_es)
         return lambda bxy, bwh: crop_embeddings(prm, frame_f32, center, side, bxy, bwh)
 
     # ---- init -------------------------------------------------------------

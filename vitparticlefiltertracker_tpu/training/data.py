@@ -1,0 +1,139 @@
+"""On-device procedural scene-pair generator for feature training.
+
+Generates (frame0, frame1) pairs with a known target box: frame0 provides
+the template view, frame1 the search view after motion, photometric jitter,
+camera shift, a distractor object, and (sometimes) partial occlusion. The
+trainer teaches the embedder that the TRUE box in frame1 matches the
+template better than offset/background/distractor boxes — exactly the
+discrimination the particle filter's likelihood needs.
+
+Everything is pure jnp and vmapped over the batch: data generation runs ON
+THE TPU inside the jitted train step (the host in this rig has one CPU core
+and a ~1 MB/s device link; host-side generation would starve the chip).
+Randomization is deliberately much wider than the fixed-seed eval clips
+(io/synthetic.py): texture scales, target sizes/aspects (needle-like
+included), colors, contrast, noise — so evals measure generalization, not
+memorization.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vitparticlefiltertracker_tpu.ops.image import extract_window_mxu
+
+
+class SceneBatch(NamedTuple):
+    frame0: jax.Array  # [B, S, S, 3] f32, 0..255 scale (pre-normalization)
+    frame1: jax.Array  # [B, S, S, 3]
+    p0: jax.Array  # [B, 2] target center in frame0 (x, y) px
+    p1: jax.Array  # [B, 2] target center in frame1
+    wh: jax.Array  # [B, 2] target box (w, h) px
+
+
+def _octave(key: jax.Array, size: int, cells: int, lo: float, hi: float) -> jax.Array:
+    """One bilinearly-upsampled random-grid texture octave [S, S, 3]."""
+    g = jax.random.uniform(key, (cells, cells, 3), minval=lo, maxval=hi)
+    return jax.image.resize(g, (size, size, 3), method="linear")
+
+
+def _paint_blob(
+    frame: jax.Array,  # [S, S, 3]
+    p: jax.Array,  # [2] center (x, y)
+    wh: jax.Array,  # [2] (w, h)
+    colors: jax.Array,  # [3, 3] rows: core / rim / base per-channel weights
+    gain: jax.Array,  # [] intensity gain
+    enable: jax.Array,  # [] 0/1 (so vmapped samples can omit the blob)
+) -> jax.Array:
+    """Composite a soft-edged textured rectangle (radial core + rim)."""
+    s = frame.shape[0]
+    yy, xx = jnp.mgrid[0:s, 0:s].astype(jnp.float32)
+    rx = (xx - p[0]) / (wh[0] / 2.0)
+    ry = (yy - p[1]) / (wh[1] / 2.0)
+    r = jnp.sqrt(rx * rx + ry * ry)
+    core = jnp.clip(1.0 - r, 0.0, 1.0)
+    rim = jnp.clip(r - 0.3, 0.0, 1.0)
+    # Soft ~1px box edge: alpha ramps with px distance to the box border.
+    dist_px = jnp.minimum(
+        (1.0 - jnp.abs(rx)) * (wh[0] / 2.0), (1.0 - jnp.abs(ry)) * (wh[1] / 2.0)
+    )
+    alpha = jnp.clip(dist_px + 0.5, 0.0, 1.0) * enable
+    tex = (
+        core[..., None] * colors[0]
+        + rim[..., None] * colors[1]
+        + colors[2]
+    ) * gain
+    return frame * (1.0 - alpha[..., None]) + tex * alpha[..., None]
+
+
+def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
+    """One scene pair; batch axes added by vmap in make_pair_batch."""
+    ks = jax.random.split(key, 18)
+    s = float(size)
+
+    # --- background: two texture octaves, random coarse/fine balance -------
+    bg = _octave(ks[0], size, 10, 25.0, 215.0) + _octave(ks[1], size, 40, -18.0, 18.0)
+
+    # --- target geometry ----------------------------------------------------
+    # Log-uniform width; aspect spans needle-like (h << w) to square-ish.
+    tw = jnp.exp(jax.random.uniform(ks[2], (), minval=jnp.log(10.0), maxval=jnp.log(56.0)))
+    aspect = jnp.exp(jax.random.uniform(ks[3], (), minval=jnp.log(0.15), maxval=jnp.log(1.3)))
+    th = jnp.clip(tw * aspect, 5.0, 56.0)
+    wh = jnp.stack([tw, th])
+
+    p0 = jax.random.uniform(ks[4], (2,), minval=0.22 * s, maxval=0.78 * s)
+    delta = 4.0 * jax.random.normal(ks[5], (2,))
+    p1 = jnp.clip(p0 + delta, 0.18 * s, 0.82 * s)
+
+    colors_t = jax.random.uniform(ks[6], (3, 3), minval=0.0, maxval=235.0)
+    colors_d = jax.random.uniform(ks[7], (3, 3), minval=0.0, maxval=235.0)
+
+    # --- distractor object (prob 0.7), kept away from the target -----------
+    d_on = (jax.random.uniform(ks[8], ()) < 0.7).astype(jnp.float32)
+    # Place opposite the target's frame half to avoid label-poisoning overlap.
+    d_pos = jnp.where(p0 < s / 2, 0.75 * s, 0.25 * s) + 6.0 * jax.random.normal(ks[9], (2,))
+    d_wh = wh * jnp.exp(0.2 * jax.random.normal(ks[10], (2,)))
+    d_drift = 3.0 * jax.random.normal(ks[11], (2,))
+
+    def compose(bg_img, tp, dp, tgain):
+        f = _paint_blob(bg_img, dp, d_wh, colors_d, 1.0, d_on)
+        return _paint_blob(f, tp, wh, colors_t, tgain, jnp.float32(1.0))
+
+    frame0 = compose(bg, p0, d_pos, jnp.float32(1.0))
+
+    # --- frame1: camera shift + photometric jitter + partial occluder ------
+    cam = 2.5 * jax.random.normal(ks[12], (2,))
+    ctr = jnp.asarray([s / 2, s / 2]) + cam
+    bg1 = extract_window_mxu(bg, ctr, jnp.float32(s), size)
+    tgain1 = jnp.exp(0.12 * jax.random.normal(ks[13], ()))
+    frame1 = compose(bg1, p1, d_pos + d_drift, tgain1)
+
+    occ_on = (jax.random.uniform(ks[14], ()) < 0.25).astype(jnp.float32)
+    occ_x = p1[0] + jax.random.uniform(ks[15], (), minval=-0.8, maxval=0.8) * tw
+    occ_w = jnp.clip(0.5 * tw, 3.0, 20.0)
+    xs = jnp.arange(size, dtype=jnp.float32)
+    occ_mask = (jnp.abs(xs - occ_x) < occ_w / 2).astype(jnp.float32) * occ_on
+    occ_color = jax.random.uniform(ks[16], (3,), minval=40.0, maxval=160.0)
+    frame1 = frame1 * (1.0 - occ_mask)[None, :, None] + occ_color * occ_mask[None, :, None]
+
+    gain = jnp.exp(0.15 * jax.random.normal(ks[17], ()))
+    k_noise0, k_noise1, k_bias = jax.random.split(jax.random.fold_in(key, 99), 3)
+    bias = jax.random.uniform(k_bias, (), minval=-14.0, maxval=14.0)
+    frame0 = frame0 + 2.5 * jax.random.normal(k_noise0, frame0.shape)
+    frame1 = frame1 * gain + bias + 2.5 * jax.random.normal(k_noise1, frame1.shape)
+
+    return SceneBatch(
+        frame0=jnp.clip(frame0, 0.0, 255.0),
+        frame1=jnp.clip(frame1, 0.0, 255.0),
+        p0=p0,
+        p1=p1,
+        wh=wh,
+    )
+
+
+def make_pair_batch(key: jax.Array, batch: int, size: int) -> SceneBatch:
+    """[B]-batched scene pairs; jit/vmap-safe, counter-based (fold_in step)."""
+    return jax.vmap(lambda k: _synth_pair(k, size))(jax.random.split(key, batch))

@@ -1,0 +1,98 @@
+"""Localization InfoNCE: teach the dense embedder to rank the true box first.
+
+For each scene pair, the template is pooled from frame0 at the (jittered)
+true box — exactly how Tracker.init builds it — and scored against M
+candidate boxes in frame1: the true box, a ring of hard offset negatives,
+and random window boxes. Softmax cross-entropy with the true box as label 0
+directly maximizes what the particle filter consumes: cosine-to-template
+peaking at the right hypothesis and falling off elsewhere.
+
+The embedding path is models/embedder.py — the inference code — so there is
+no train/serve skew: window extraction, ROI cells, window-mean centering and
+per-cell L2 normalization are all differentiated through.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vitparticlefiltertracker_tpu.models.embedder import (
+    DenseEmbedSpec,
+    make_dense_embedder,
+)
+from vitparticlefiltertracker_tpu.ops.likelihood import _cos_to_template, l2_normalize
+
+
+def ring_offsets() -> jnp.ndarray:
+    """Hard-negative offsets in units of the box size: 8 directions x 3
+    radii. Radius 1.0 = adjacent non-overlapping box (hardest clean
+    negative); closer offsets would overlap the target and poison labels."""
+    ang = jnp.arange(8, dtype=jnp.float32) * (2 * jnp.pi / 8)
+    dirs = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)  # [8, 2]
+    radii = jnp.asarray([1.0, 1.75, 3.0], jnp.float32)
+    return (radii[:, None, None] * dirs[None]).reshape(-1, 2)  # [24, 2]
+
+
+def pair_loss(
+    prm: dict,
+    es: DenseEmbedSpec,
+    frame0: jax.Array,  # [S, S, 3] f32 0..255
+    frame1: jax.Array,
+    p0: jax.Array,  # [2] true center in frame0
+    p1: jax.Array,  # [2] true center in frame1
+    wh: jax.Array,  # [2] box size
+    key: jax.Array,
+    *,
+    tau: float,
+    search_scale: float,
+    num_random: int,
+    template_jitter: float,
+) -> tuple[jax.Array, dict]:
+    """One sample's InfoNCE loss + metrics; vmapped over the batch."""
+    k_jit, k_rand = jax.random.split(key)
+    # Window side exactly as the tracker computes it (runtime/tracker.py:
+    # _window_side), floored so small targets still see their motion range.
+    side = jnp.maximum(
+        search_scale * jnp.sqrt(wh[0] * wh[1]), jnp.float32(64.0)
+    )
+
+    # Template from frame0 at the true box, jittered to mimic the imperfect
+    # estimates the tracker feeds its template EMA.
+    t_xy = p0 + template_jitter * wh * jax.random.normal(k_jit, (2,))
+    pool0 = make_dense_embedder(prm, frame0, p0, side, es)
+    emb0, _ = pool0(t_xy[None], wh[None])
+    tmpl = l2_normalize(emb0[0].astype(jnp.float32))
+
+    # Candidates in frame1. The window is centered on p0 — the "previous
+    # estimate" — exactly the tracker's step geometry.
+    offs = ring_offsets() * wh[None, :]
+    rand = p0[None, :] + side * jax.random.uniform(
+        k_rand, (num_random, 2), minval=-0.4, maxval=0.4
+    )
+    cand = jnp.concatenate([p1[None], p1[None] + offs, rand], axis=0)  # [M, 2]
+    pool1 = make_dense_embedder(prm, frame1, p0, side, es)
+    emb1, valid = pool1(cand, jnp.broadcast_to(wh, cand.shape))
+    cos = _cos_to_template(emb1, tmpl)  # [M]
+
+    logits = cos / tau
+    # Invalid (out-of-window) negatives drop out of the softmax; the true
+    # box is kept regardless (p1 is always inside by construction).
+    logits = jnp.where(valid | (jnp.arange(cand.shape[0]) == 0), logits, -1e9)
+    loss = -jax.nn.log_softmax(logits)[0]
+    metrics = {
+        "acc": (jnp.argmax(logits) == 0).astype(jnp.float32),
+        "cos_pos": cos[0],
+        "cos_neg_max": jnp.max(jnp.where(valid, cos, -1.0)[1:]),
+    }
+    return loss, metrics
+
+
+def batch_loss(prm: dict, es: DenseEmbedSpec, batch, keys, **kw):
+    """Mean loss over a SceneBatch; returns (loss, metrics means)."""
+    losses, metrics = jax.vmap(
+        lambda f0, f1, p0, p1, wh, k: pair_loss(
+            prm, es, f0, f1, p0, p1, wh, k, **kw
+        )
+    )(batch.frame0, batch.frame1, batch.p0, batch.p1, batch.wh, keys)
+    return jnp.mean(losses), {k: jnp.mean(v) for k, v in metrics.items()}

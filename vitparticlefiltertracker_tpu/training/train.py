@@ -1,0 +1,149 @@
+"""Jitted feature-training loop (optax AdamW, on-device data, donated state).
+
+One train step = generate a scene batch on device (training/data.py), run
+the localization InfoNCE (training/objective.py) through the dense inference
+embedder, and apply AdamW. The step is ONE jitted, state-donating device
+program keyed by a counter — zero per-step host->device transfers, so the
+slow relay in this rig never sits on the training path.
+
+Checkpoints are written with models/params.py (versioned format), so
+`model.checkpoint: <path>` in any tracker config picks them up directly.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vitparticlefiltertracker_tpu.models.embedder import DenseEmbedSpec
+from vitparticlefiltertracker_tpu.models.params import save_params
+from vitparticlefiltertracker_tpu.models.vit import init_vit_params
+from vitparticlefiltertracker_tpu.training.data import make_pair_batch
+from vitparticlefiltertracker_tpu.training.objective import batch_loss
+
+_DECAY_LEAVES = {"wqkv", "wo", "w1", "w2", "kernel"}  # matmul weights only
+
+
+def _decay_mask(params) -> dict:
+    """AdamW decay on matmul kernels only (biases/LN/pos-embed excluded)."""
+    def rec(tree):
+        if isinstance(tree, dict):
+            return {k: (k in _DECAY_LEAVES) if not isinstance(v, dict) else rec(v)
+                    for k, v in tree.items()}
+        return False
+
+    return rec(params)
+
+
+def build_optimizer(tr) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=tr.lr,
+        warmup_steps=tr.warmup,
+        decay_steps=max(tr.steps, tr.warmup + 1),
+        end_value=tr.lr * 0.05,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, weight_decay=tr.weight_decay, mask=_decay_mask),
+    )
+
+
+def _train_embed_spec(cfg) -> DenseEmbedSpec:
+    """The inference embedder spec, with training overrides: optional smaller
+    window (features are resolution-agnostic — no pos-embed in dense mode),
+    XLA attention (the Pallas flash kernel has no backward), and the
+    training compute dtype."""
+    tr = cfg.train
+    es = DenseEmbedSpec.from_config(cfg)
+    window = tr.window or es.s_img
+    vit = es.vit._replace(
+        image_size=window,
+        use_flash_attention=False,
+        dtype=jnp.bfloat16 if tr.dtype == "bfloat16" else jnp.float32,
+    )
+    return es._replace(vit=vit, s_img=window)
+
+
+def build_train_step(cfg):
+    """Returns (init_fn() -> (params, opt_state), step_fn(params, opt, i))."""
+    tr = cfg.train
+    es = _train_embed_spec(cfg)
+    tx = build_optimizer(tr)
+    base_key = jax.random.key(tr.seed ^ 0x7A11)
+    kw = dict(
+        tau=tr.tau,
+        search_scale=cfg.tracker.search_scale,
+        num_random=tr.num_random_negatives,
+        template_jitter=tr.template_jitter,
+    )
+
+    def init_fn():
+        params = init_vit_params(jax.random.key(cfg.filter.seed ^ 0x5EED), es.vit)
+        return params, tx.init(params)
+
+    def loss_fn(params, step):
+        k = jax.random.fold_in(base_key, step)
+        batch = make_pair_batch(jax.random.fold_in(k, 0), tr.batch_size, tr.canvas)
+        keys = jax.random.split(jax.random.fold_in(k, 1), tr.batch_size)
+        return batch_loss(params, es, batch, keys, **kw)
+
+    def step_fn(params, opt_state, step):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, step
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+        return params, opt_state, metrics
+
+    return init_fn, step_fn
+
+
+def train_features(cfg, log=None) -> dict:
+    """Run the training loop; returns the trained param pytree.
+
+    Writes the checkpoint to cfg.train.checkpoint_out (versioned npz/orbax
+    via models/params.py) and per-log-interval metrics JSONL to
+    cfg.train.metrics_out (or stderr)."""
+    tr = cfg.train
+    if log is None:
+        log = lambda s: print(s, file=sys.stderr)
+    init_fn, step_fn = build_train_step(cfg)
+    init_jit = jax.jit(init_fn)
+    step_jit = jax.jit(step_fn, donate_argnums=(0, 1))
+
+    params, opt_state = init_jit()
+    metrics_f = open(tr.metrics_out, "w") if tr.metrics_out else None
+    t0 = time.perf_counter()
+    try:
+        for i in range(tr.steps):
+            params, opt_state, metrics = step_jit(params, opt_state, jnp.int32(i))
+            if (i + 1) % tr.log_every == 0 or i + 1 == tr.steps:
+                # The only host sync of the loop (readback forces completion
+                # of every dispatched step — this rig's block_until_ready is
+                # a no-op, see runtime/benchmark.py).
+                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                m["step"] = i + 1
+                m["wall_s"] = round(time.perf_counter() - t0, 2)
+                line = json.dumps(m)
+                log(line)
+                if metrics_f:
+                    metrics_f.write(line + "\n")
+                    metrics_f.flush()
+    finally:
+        if metrics_f:
+            metrics_f.close()
+    if tr.checkpoint_out:
+        import os
+
+        os.makedirs(os.path.dirname(tr.checkpoint_out) or ".", exist_ok=True)
+        save_params(tr.checkpoint_out, jax.device_get(params))
+        log(f"saved {tr.checkpoint_out}")
+    return params

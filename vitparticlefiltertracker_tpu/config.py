@@ -212,6 +212,10 @@ class RuntimeConfig:
     """Device/runtime substrate (B11/B12)."""
 
     banks: int = 1  # multi-object: independent filter banks (BASELINE.json:10)
+    # `vpt serve`: K independent videos batched on one chip (one record
+    # stream per source). Ignored unless io.source is a single spec — a
+    # comma-separated source list sets K implicitly.
+    streams: int = 4
     mesh_banks: int = 1  # mesh axis sizes; 1,1,1 = single chip
     mesh_particles: int = 1
     mesh_model: int = 1  # tensor-parallel ViT axis (heads/MLP-hidden sharded)

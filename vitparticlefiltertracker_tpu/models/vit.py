@@ -46,6 +46,12 @@ class VitSpec(NamedTuple):
     # tracker self-confirms and drifts. Crop mode keeps them (every crop has
     # its own coordinate frame).
     use_pos_embed: bool = True
+    # Static multiplier for batch axes INVISIBLE at trace time (an outer
+    # vmap over banks/streams): the flash-attention dispatch gate must see
+    # the EXECUTED logits size, not the per-example traced shape
+    # (ops/attention.py:multi_head_attention). runtime/banked.py sets this
+    # to its bank/stream count.
+    attn_batch_hint: int = 1
 
     @property
     def grid(self) -> int:
@@ -175,7 +181,11 @@ def _block(x: jax.Array, p: dict, spec: VitSpec) -> jax.Array:
     # as whole heads per shard instead of splitting the q|k|v blocks.
     qkv = qkv.reshape(b, t, h, 3, hd).transpose(3, 0, 2, 1, 4)  # [3, B, H, T, hd]
     o = multi_head_attention(
-        qkv[0], qkv[1], qkv[2], use_flash=spec.use_flash_attention
+        qkv[0],
+        qkv[1],
+        qkv[2],
+        use_flash=spec.use_flash_attention,
+        batch_hint=spec.attn_batch_hint,
     )  # [B, H, T, hd]
     o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
     x = x + (o @ p["attn"]["wo"].astype(dtype) + p["attn"]["bo"].astype(dtype))

@@ -151,22 +151,28 @@ def flash_attention(
 # quantity that actually explodes. Global-frame encodes (1080p ~ 8.1k
 # tokens) land squarely in the flash regime.
 #
-# The gate sees PER-EXAMPLE shapes: under vmap (banked/multistream
-# trackers) the mapped K axis is invisible here, so the executed batched
-# logits are K x larger than gated. The threshold is therefore set 5x
-# below the measured single-example crossover as vmap headroom — worst
-# case it dispatches flash a little early (a ~1.3x slowdown in a regime
-# no tracking config reaches) instead of risking a K-fold HBM blowup.
+# The gate sees EXECUTED logits: callers under vmap (banked / multistream
+# trackers — runtime/banked.py) pass their mapped bank/stream count as
+# `batch_hint`, since tracing shapes don't show the mapped axis. The
+# threshold keeps a 5x margin below the measured single-example crossover
+# for unhinted callers; per-shape measurements live in
+# docs/bench_attention.jsonl (tools/bench_attention.py).
 FLASH_MIN_LOGITS_ELEMS = 1e8
 
 
 def multi_head_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, *, use_flash: bool = True
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    use_flash: bool = True,
+    batch_hint: int = 1,
 ) -> jax.Array:
-    """Dispatch: Pallas flash kernel on TPU when the [B, H, T, T] logits
-    tensor is large enough to dominate (see FLASH_MIN_LOGITS_ELEMS), XLA
-    reference attention otherwise."""
-    b_h = 1
+    """Dispatch: Pallas flash kernel on TPU when the EXECUTED [B, H, T, T]
+    logits tensor is large enough to dominate, XLA reference attention
+    otherwise. batch_hint: static multiplier for batch axes invisible at
+    trace time (outer vmap over banks/streams)."""
+    b_h = max(1, batch_hint)
     for s in q.shape[:-2]:
         b_h *= s
     t = q.shape[-2]

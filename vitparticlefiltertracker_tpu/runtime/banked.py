@@ -52,10 +52,10 @@ def build_banked_fns(cfg: Config):
     ViT params broadcast across banks (in_axes=None) — one weight copy in
     HBM serves all K filters; vmap batches the K ViT forwards into one.
     """
-    return _build_vmapped_fns(cfg, frame_axis=None)
+    return _build_vmapped_fns(cfg, frame_axis=None, width=cfg.runtime.banks)
 
 
-def build_multistream_fns(cfg: Config):
+def build_multistream_fns(cfg: Config, num_streams: int = 1):
     """Multi-STREAM serving: K independent videos, one batched device step.
 
     Unlike the banked fns (K filters on ONE shared frame), every bank here
@@ -68,13 +68,15 @@ def build_multistream_fns(cfg: Config):
     step(params, state, frames [K,H,W,3]) -> (State[K], TrackOutput[K])
     clip(params, state, clips [T,K,H,W,3]) -> (State[K], TrackOutput[T,K])
     """
-    return _build_vmapped_fns(cfg, frame_axis=0)
+    return _build_vmapped_fns(cfg, frame_axis=0, width=num_streams)
 
 
-def _build_vmapped_fns(cfg: Config, frame_axis):
+def _build_vmapped_fns(cfg: Config, frame_axis, width: int = 1):
     """Shared vmap wiring for banked (frame_axis=None, one shared frame)
-    and multi-stream (frame_axis=0, per-bank frames) trackers."""
-    fns = build_tracker_fns(cfg)
+    and multi-stream (frame_axis=0, per-bank frames) trackers. `width` is
+    the vmapped K — threaded into the flash-attention dispatch gate, which
+    must see executed (not per-example) batch sizes."""
+    fns = build_tracker_fns(cfg, batch_hint=width)
     init_v = jax.vmap(fns.init, in_axes=(None, frame_axis, 0, 0))
     step_v = jax.vmap(fns.step, in_axes=(None, 0, frame_axis))
 
@@ -98,7 +100,7 @@ class MultiStreamTracker:
         from vitparticlefiltertracker_tpu.models.params import resolve_vit_params
 
         self.vit_params = jax.device_put(resolve_vit_params(cfg, vit_params))
-        init_m, step_m, clip_m = build_multistream_fns(cfg)
+        init_m, step_m, clip_m = build_multistream_fns(cfg, num_streams)
         self._init_jit = jax.jit(init_m)
         self._step_jit = jax.jit(step_m, donate_argnums=(1,))
         self._clip_jit = jax.jit(clip_m, donate_argnums=(1,))

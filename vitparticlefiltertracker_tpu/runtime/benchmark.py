@@ -32,6 +32,47 @@ def _log(msg: str, verbose: bool) -> None:
         print(f"[bench +{time.perf_counter() - _log.t0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+# Peak dense-matmul throughput used for the MFU estimate. TPU v5e:
+# 197 TFLOP/s bf16 (394 int8). For f32 runs the MXU peak is ~1/2 the bf16
+# figure; the report states the basis.
+_PEAK_TFLOPS = {"tpu": {"bfloat16": 197.0, "float32": 98.5}}
+
+
+def estimate_flops_per_frame(cfg: Config) -> float:
+    """Matmul FLOPs of one tracker step (ViT forward(s) + ROI pooling).
+
+    Standard transformer accounting (2 FLOPs/MAC): per token per block
+    8d² (qkv+out projections) + 4Td (QKᵀ and PV) + 4·d·mlp, plus the patch
+    embed GEMM. Dense mode runs ONE window forward per frame (xK banks);
+    crop mode runs N crop forwards. ROI pooling (hat-weight contractions,
+    ops/image.py) is included; window extraction and the filter are <1% and
+    ignored. This is the ALGORITHMIC count — the point of dense mode is that
+    it is tiny (batch-1 windows leave the MXU mostly idle; multi-stream
+    batching is how the idle silicon is spent — see docs/BENCH_RESULTS.md).
+    """
+    m = cfg.model
+    d, mlp, depth, p = m.dim, m.mlp_dim, m.depth, m.patch_size
+    n = cfg.filter.num_particles
+    banks = max(1, cfg.runtime.banks)
+    if cfg.tracker.mode == "crop":
+        t = (cfg.tracker.crop_size // p) ** 2
+        forwards = n * banks
+    else:
+        t = (m.image_size // p) ** 2
+        forwards = banks
+    per_fwd = depth * t * (8 * d * d + 4 * t * d + 4 * d * mlp) + t * 2 * (p * p * 3) * d
+    vit = forwards * per_fwd
+    roi = 0.0
+    if cfg.tracker.mode == "dense":
+        g = m.image_size // p
+        k = cfg.tracker.roi_grid
+        if cfg.tracker.appearance == "cells":
+            roi = banks * n * (2 * k * g * g * d + 2 * k * k * g * d)
+        else:
+            roi = banks * n * (2 * g * g * d + 2 * g * d)
+    return float(vit + roi)
+
+
 def run_benchmark(
     cfg: Config,
     warmup: int = 5,
@@ -151,6 +192,9 @@ def run_benchmark(
 
     lat = np.asarray(lat_ms)
     p50 = float(np.percentile(lat, 50))
+    flops_frame = estimate_flops_per_frame(cfg)
+    achieved_tflops = flops_frame * fps / 1e12
+    peak = _PEAK_TFLOPS.get(jax.default_backend(), {}).get(cfg.model.dtype)
     return {
         "config": {
             "model": cfg.model.variant,
@@ -172,4 +216,11 @@ def run_benchmark(
         # deployment would see): per-step latency minus the readback RTT.
         "p50_device_ms": max(p50 - rtt_ms, 0.0),
         "frames_measured": int(measure_frames),
+        # Efficiency accounting (offline fps basis): the algorithmic FLOP
+        # count of a step — low MFU at batch-1 dense mode is the WIN (one
+        # tiny forward serves all N hypotheses); multistream serving is the
+        # path that fills the idle MXU.
+        "est_gflops_per_frame": round(flops_frame / 1e9, 2),
+        "achieved_tflops": round(achieved_tflops, 3),
+        "mfu": round(achieved_tflops / peak, 4) if peak else None,
     }

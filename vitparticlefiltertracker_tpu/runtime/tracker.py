@@ -111,7 +111,7 @@ class _Fns(NamedTuple):
     track_clip: Any
 
 
-def build_tracker_fns(cfg: Config) -> _Fns:
+def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
     """Build (init_fn, step_fn, track_clip_fn), pure and jittable, closing
     over config statics only. ViT weights are an explicit first argument of
     every fn — NOT a closure constant — so they enter the compiled program
@@ -119,11 +119,15 @@ def build_tracker_fns(cfg: Config) -> _Fns:
     instead of being baked into the HLO as hundreds of MB of literals (which
     bloats compile time and overflows this rig's remote-compile relay).
 
+    batch_hint: outer-vmap width the caller will map these fns over (banked
+    / multistream trackers) — feeds the flash-attention dispatch gate with
+    the EXECUTED batch size (ops/attention.py).
+
     init(params, frame, bbox, seed) -> TrackerState
     step(params, state, frame) -> (TrackerState, TrackOutput)
     track_clip(params, state, frames) -> (TrackerState, TrackOutput[T])
     """
-    spec = VitSpec.from_config(cfg.model)
+    spec = VitSpec.from_config(cfg.model)._replace(attn_batch_hint=batch_hint)
     pfp = _pf_params(cfg)
     n = cfg.filter.num_particles
     temp = cfg.filter.likelihood_temp

@@ -88,6 +88,34 @@ def test_train_step_reduces_loss_and_flows_grads():
     assert np.abs(np.asarray(params["patch_embed"]["kernel"]) - np.asarray(p0)).max() > 0
 
 
+def test_sharded_train_step_matches_unsharded():
+    """Data-parallel training over an 8-device ("data",) mesh: params stay
+    replicated, the batch shards, GSPMD inserts the gradient AllReduce —
+    and the result matches the single-device step (same on-device data
+    generation, deterministic keys)."""
+    import jax
+
+    from vitparticlefiltertracker_tpu.training.train import make_data_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 (fake) devices")
+    cfg = tiny_train_cfg(batch_size=8)
+    init_fn, step_ref = build_train_step(cfg, mesh=None)
+    _, step_dp = build_train_step(cfg, mesh=make_data_mesh(8))
+
+    params, opt = jax.jit(init_fn)()
+    p_ref, _, m_ref = jax.jit(step_ref)(params, opt, jnp.int32(1))
+    p_dp, _, m_dp = jax.jit(step_dp)(params, opt, jnp.int32(1))
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_dp["loss"]), rtol=1e-4
+    )
+    a = np.asarray(p_ref["patch_embed"]["kernel"])
+    b = np.asarray(p_dp["patch_embed"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_train_features_end_to_end_checkpoint_tracks(tmp_path):
     """Trained checkpoint loads via model.checkpoint and the tracker runs."""
     ckpt = str(tmp_path / "trained.npz")

@@ -46,10 +46,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer frames")
     ap.add_argument("--only", type=int, default=0, help="run only eval N")
+    ap.add_argument(
+        "--backend", default="",
+        help="force a JAX platform (e.g. 'cpu' for eval 1, which "
+        "BASELINE.json pins to CPU; env JAX_PLATFORMS is overridden by the "
+        "axon plugin on this rig, so the flag sets jax_platforms directly)",
+    )
     args = ap.parse_args()
 
-    enable_compilation_cache()
     import jax
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    enable_compilation_cache()
 
     backend = jax.default_backend()
     results = []
@@ -85,6 +94,12 @@ def main() -> int:
     with open(jsonl, "w") as f:
         for r in results:
             f.write(json.dumps(r) + "\n")
+
+    if len(results) < len(EVALS):
+        # Partial run (--only / single-backend): record the JSONL but leave
+        # the full-table markdown to a complete sweep.
+        print(f"wrote {jsonl} (partial run; BENCH_RESULTS.md untouched)")
+        return 0
 
     md = os.path.join(REPO, "docs", "BENCH_RESULTS.md")
     with open(md, "w") as f:

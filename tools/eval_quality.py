@@ -1,13 +1,19 @@
 #!/usr/bin/env python
-"""Tracking-quality evaluation: RMSE vs ground truth on every synthetic
-clip family, plus occlusion-recovery behavior. Writes docs/QUALITY.md.
+"""Tracking-quality evaluation: RMSE vs ground truth across clip families,
+eval geometries (BASELINE.md), weight sets (random-init vs trained), and
+the real mp4 decode path.
 
-Runs the flagship config (ViT-B/16 dense, bf16+flash on TPU; f32 on CPU)
-with track_clip_device — one device dispatch per clip. Clips are generated
-at 640x480 regardless of the perf-eval geometries (quality is scale-
-invariant here; the perf numbers live in docs/BENCH_RESULTS.md).
+Each invocation appends rows to docs/quality_runs.jsonl and regenerates
+docs/QUALITY.md from ALL accumulated rows, so random/trained and
+flagship/eval3/eval4 results render side by side.
 
-Usage: python tools/eval_quality.py [--seeds 0 1 2] [--frames 48]
+Usage:
+  python tools/eval_quality.py                          # flagship, random init
+  python tools/eval_quality.py --checkpoint checkpoints/vit_b16_tracking.npz \
+      --label trained                                   # flagship, trained
+  python tools/eval_quality.py --geometry eval3         # ViT-L 4k 1080p needle
+  python tools/eval_quality.py --geometry eval4         # 8 banks 720p multi
+  python tools/eval_quality.py --mp4                    # encoded-video decode path
 """
 
 from __future__ import annotations
@@ -16,147 +22,245 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.config import Config, apply_override
 from vitparticlefiltertracker_tpu.io.video import open_source
 from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
 
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+RUNS = os.path.join(REPO, "docs", "quality_runs.jsonl")
 
-CLIPS = [
-    ("moving-square", {}),
-    ("occlusion", {"filter.lost_conf_threshold": 0.6}),
-    ("needle", {}),
-    ("surveillance", {"filter.motion.sigma_pos": 4.0}),
-]
+# Eval geometries from BASELINE.md (configs 2-4). Quality is measured at the
+# REAL eval geometry — round-1 VERDICT flagged that eval3/eval4 only had fps
+# numbers, with RMSE taken from a 640x480 stand-in.
+GEOMETRIES = {
+    "flagship": {
+        "model": "vit-b16", "particles": 1024, "frame": (480, 640), "banks": 1,
+        "clips": ["moving-square", "occlusion", "needle", "surveillance", "teleport"],
+    },
+    "eval3": {  # BASELINE: ViT-L/16, 4k particles, 1080p needle
+        "model": "vit-l16", "particles": 4096, "frame": (1080, 1920), "banks": 1,
+        "clips": ["needle"],
+    },
+    "eval4": {  # BASELINE: 8 banks x 1k particles, 720p multi-object
+        "model": "vit-b16", "particles": 1024, "frame": (720, 1280), "banks": 8,
+        "clips": ["multi-8"],
+    },
+}
+
+CLIP_OVERRIDES = {
+    "occlusion": {"filter.lost_conf_threshold": "0.6"},
+    "surveillance": {"filter.motion.sigma_pos": "4.0"},
+    "teleport": {
+        "filter.lost_conf_threshold": "0.6",
+        "tracker.redetect_global_after": "3",
+        "tracker.redetect_accept_conf": "0.3",
+    },
+}
 
 
-def flagship_cfg(overrides: dict) -> Config:
+def build_cfg(geo: dict, clip: str, checkpoint: str) -> Config:
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = Config.from_dict(
         {
             "model": {
-                "variant": "vit-b16",
+                "variant": geo["model"],
                 "image_size": 224,
                 "dtype": "bfloat16" if on_tpu else "float32",
                 "use_flash_attention": on_tpu,
+                "checkpoint": checkpoint,
             },
-            "filter": {"num_particles": 1024},
+            "filter": {"num_particles": geo["particles"]},
             "tracker": {"mode": "dense"},
+            "runtime": {"banks": geo["banks"]},
         }
     )
-    from vitparticlefiltertracker_tpu.config import apply_override
-
-    for k, v in overrides.items():
+    for k, v in CLIP_OVERRIDES.get(clip, {}).items():
         apply_override(cfg, f"{k}={v}")
+    # Multi-bank: distinct targets, no lost gating (thresholds are per-clip).
     return cfg.resolve()
 
 
-def run_clip(cfg: Config, name: str, seed: int, frames: int):
+def mp4_roundtrip(frames: np.ndarray) -> np.ndarray:
+    """Encode->decode the clip with a real video codec (natural-statistics
+    pixels through the actual B3 decode path). Requires cv2."""
+    import cv2
+
+    t, h, w, _ = frames.shape
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "clip.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (w, h))
+        for f in frames:
+            vw.write(f[..., ::-1])
+        vw.release()
+        src = open_source(path)
+        out = np.stack(list(src))
+    assert out.shape == frames.shape, (out.shape, frames.shape)
+    return out
+
+
+def run_single(cfg: Config, clip: str, seed: int, frames: int, frame_size, mp4: bool):
     import jax
     import jax.numpy as jnp
 
     from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
 
-    src = open_source(f"synthetic:{name}", frames, (480, 640), seed=seed)
-    clip = np.stack(list(src))
+    src = open_source(f"synthetic:{clip}", frames, frame_size, seed=seed)
+    arr = np.stack(list(src))
+    if mp4:
+        arr = mp4_roundtrip(arr)
     tr = Tracker(cfg)
-    tr.init(clip[0], src.init_bbox)
-    outs = tr.track_clip_device(jax.device_put(jnp.asarray(clip[1:])))
-    pos = np.asarray(outs.position, np.float32)  # [T-1, 2]
-    lost = np.asarray(outs.lost)
-    conf = np.asarray(outs.conf, np.float32)
+    tr.init(arr[0], src.init_bbox)
+    outs = tr.track_clip_device(jax.device_put(jnp.asarray(arr[1:])))
+    pos = np.asarray(outs.position, np.float32)
     err = np.linalg.norm(pos - src.truth[1:], axis=1)
-    box_diag = float(np.hypot(src.init_bbox[2], src.init_bbox[3]))
-    return err, lost, conf, box_diag
+    if clip == "teleport":
+        # Score only after the reappearance (truth is pinned to the re-entry
+        # point during the hidden gap) — see io/synthetic.py:teleport_times.
+        from vitparticlefiltertracker_tpu.io.synthetic import teleport_times
+
+        _, t_show = teleport_times(frames)
+        err = err[t_show + 3 :]
+    return err, np.asarray(outs.lost), float(np.hypot(src.init_bbox[2], src.init_bbox[3]))
+
+
+def run_banked(cfg: Config, clip: str, seed: int, frames: int, frame_size, mp4: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+
+    src = open_source(f"synthetic:{clip}", frames, frame_size, seed=seed)
+    arr = np.stack(list(src))
+    if mp4:
+        arr = mp4_roundtrip(arr)
+    mt = MultiTracker(cfg)
+    mt.init(arr[0], src.init_bbox)  # [K, 4]
+    outs = mt.track_clip_device(jax.device_put(jnp.asarray(arr[1:])))
+    pos = np.asarray(outs.position, np.float32)  # [T-1, K, 2]
+    err = np.linalg.norm(pos - src.truth[1:], axis=-1)  # [T-1, K]
+    diag = float(np.mean(np.hypot(src.init_bbox[:, 2], src.init_bbox[:, 3])))
+    return err.reshape(-1), np.asarray(outs.lost).reshape(-1), diag
+
+
+def render_quality_md() -> None:
+    rows = []
+    if os.path.exists(RUNS):
+        with open(RUNS) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    # Latest row wins per (geometry, clip, weights, mp4, backend).
+    latest = {}
+    for r in rows:
+        latest[(r["geometry"], r["clip"], r["weights"], r["mp4"], r["backend"])] = r
+    md = os.path.join(REPO, "docs", "QUALITY.md")
+    with open(md, "w") as f:
+        f.write(
+            "# Tracking quality — RMSE vs ground truth\n\n"
+            "Errors in pixels against procedural ground truth "
+            "(io/synthetic.py), measured with `tools/eval_quality.py` at the "
+            "REAL BASELINE eval geometries. `weights`: `random` = seeded "
+            "random init; `trained` = in-repo learned features "
+            "(`python main.py train --config configs/train-features.yaml`, "
+            "training/). `+mp4` rows run the clip through a real mp4 "
+            "encode->decode (the B3 video path — natural pixel statistics, "
+            "codec noise). `final5` = mean error over the last 5 frames; "
+            "`lost%` = frames flagged lost. The teleport clip scores only "
+            "post-reappearance frames (global re-detection).\n\n"
+            "| geometry | clip | weights | RMSE | final-5 | max | lost% | backend |\n"
+            "|---|---|---|---|---|---|---|---|\n"
+        )
+        def sort_key(r):
+            return (r["geometry"], r["clip"], r["weights"], r["mp4"])
+
+        for r in sorted(latest.values(), key=sort_key):
+            clip = r["clip"] + ("+mp4" if r["mp4"] else "")
+            f.write(
+                f"| {r['geometry']} | {clip} | {r['weights']} | {r['rmse_px']} "
+                f"| {r['final5_px']} | {r['max_px']} | {int(100 * r['lost_frac'])}% "
+                f"| {r['backend']} |\n"
+            )
+        f.write(
+            "\nNotes:\n"
+            "- The needle clip is the aperture-problem case (position along "
+            "a thin homogeneous target). Two compounding answers: the "
+            "structured K×K cell template (tracker.appearance: cells) and "
+            "trained features.\n"
+            "- occlusion sweeps a bar over the target; the lost flag gates "
+            "template updates and triggers re-detection.\n"
+            "- eval3 = ViT-L/16, 4k particles, 1080p needle; eval4 = 8 banks "
+            "× 1k particles, 720p multi-object (per-bank errors pooled) — "
+            "the BASELINE.md geometries, not stand-ins.\n"
+        )
+    print(f"wrote {md}", file=sys.stderr)
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--geometry", default="flagship", choices=sorted(GEOMETRIES))
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--label", default="")  # row label; default from checkpoint
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--mp4", action="store_true")
+    ap.add_argument("--clips", nargs="+", default=None)
     args = ap.parse_args()
     enable_compilation_cache()
     import jax
 
     backend = jax.default_backend()
-    rows = []
-    for name, over in CLIPS:
-        cfg = flagship_cfg(over)
+    geo = GEOMETRIES[args.geometry]
+    weights = args.label or ("trained" if args.checkpoint else "random")
+    clips = args.clips or geo["clips"]
+
+    new_rows = []
+    for clip in clips:
+        cfg = build_cfg(geo, clip, args.checkpoint)
         rmses, final5, max_errs, lost_frac = [], [], [], []
-        diag = 0.0
         for seed in args.seeds:
-            err, lost, conf, diag = run_clip(cfg, name, seed, args.frames)
+            runner = run_banked if geo["banks"] > 1 else run_single
+            err, lost, diag = runner(
+                cfg, clip, seed, args.frames, geo["frame"], args.mp4
+            )
             rmses.append(float(np.sqrt(np.mean(err**2))))
             final5.append(float(err[-5:].mean()))
             max_errs.append(float(err.max()))
             lost_frac.append(float(lost.mean()))
             print(
-                f"{name} seed={seed}: rmse={rmses[-1]:.1f}px "
-                f"final5={final5[-1]:.1f} max={max_errs[-1]:.1f} "
-                f"lost%={100*lost_frac[-1]:.0f}",
+                f"{args.geometry}/{clip}/{weights} seed={seed}: "
+                f"rmse={rmses[-1]:.1f}px final5={final5[-1]:.1f} "
+                f"max={max_errs[-1]:.1f} lost%={100 * lost_frac[-1]:.0f}",
                 file=sys.stderr, flush=True,
             )
-        rows.append(
+        new_rows.append(
             {
-                "clip": name,
+                "geometry": args.geometry,
+                "clip": clip,
+                "weights": weights,
+                "mp4": bool(args.mp4),
+                "backend": backend,
                 "rmse_px": round(float(np.mean(rmses)), 1),
                 "final5_px": round(float(np.mean(final5)), 1),
                 "max_px": round(float(np.mean(max_errs)), 1),
                 "lost_frac": round(float(np.mean(lost_frac)), 2),
-                "box_diag_px": round(diag, 1),
                 "seeds": args.seeds,
+                "frames": args.frames,
+                "checkpoint": args.checkpoint,
             }
         )
 
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
-    md = os.path.join(REPO, "docs", "QUALITY.md")
-    with open(md, "w") as f:
-        f.write(
-            "# Tracking quality — synthetic clip families\n\n"
-            f"Backend: **{backend}**; flagship config (ViT-B/16 dense, "
-            f"1k particles, random-init weights), {args.frames}-frame "
-            f"640x480 clips, seeds {args.seeds}; errors in pixels against "
-            "procedural ground truth (io/synthetic.py). `final5` is the "
-            "mean error over the last 5 frames (is the tracker still locked "
-            "at the end); `lost%` the fraction of frames flagged lost "
-            "(occlusion detection).\n\n"
-            "| clip | RMSE | final-5 mean | max | lost% | target diag |\n"
-            "|---|---|---|---|---|---|\n"
-        )
-        for r in rows:
-            f.write(
-                f"| {r['clip']} | {r['rmse_px']} | {r['final5_px']} "
-                f"| {r['max_px']} | {int(100*r['lost_frac'])}% "
-                f"| {r['box_diag_px']} |\n"
-            )
-        f.write(
-            "\nThe occlusion clip sweeps a bar over the target for ~1/6 of "
-            "the clip; error spikes while covered and must recover after — "
-            "the lost flag fires during the sweep (see lost%), which "
-            "triggers the re-detection hook (wider window + inflated "
-            "diffusion) and gates template updates; enabling it cut "
-            "occlusion RMSE ~2x in the threshold sweep.\n\n"
-            "The needle clip is the aperture-problem case: position "
-            "*along* a thin, near-homogeneous target is weakly observable "
-            "by any single pooled appearance vector (pooled-mode RMSE was "
-            "~45 px here). The default STRUCTURED appearance "
-            "(tracker.appearance: cells — per-cell cosine against a KxK "
-            "spatial template) restores the along-axis signal: the needle "
-            "ends score differently from its middle. Trained features "
-            "(tools/import_vit.py) remain the upgrade path for natural "
-            "video.\n"
-        )
-    with open(os.path.join(REPO, "docs", f"quality_{backend}.jsonl"), "w") as f:
-        for r in rows:
+    with open(RUNS, "a") as f:
+        for r in new_rows:
             f.write(json.dumps(r) + "\n")
-    print(f"wrote {md}")
+    render_quality_md()
+    print(json.dumps(new_rows))
     return 0
 
 

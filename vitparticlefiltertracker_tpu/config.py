@@ -243,6 +243,10 @@ class TrainConfig:
     template_jitter: float = 0.05  # template-box jitter, units of box size
     seed: int = 0
     checkpoint_out: str = "checkpoints/vit_trained.npz"
+    # Storage dtype for the saved checkpoint: "float32" keeps the AdamW
+    # master weights exactly; "bfloat16" halves the file (inference computes
+    # in bf16 anyway, so tracking output is unaffected).
+    checkpoint_dtype: str = "float32"
     metrics_out: str = ""  # JSONL metrics path ("" = stderr only)
     log_every: int = 50
     dtype: str = "float32"  # training compute dtype ("float32"|"bfloat16")
@@ -252,6 +256,8 @@ class TrainConfig:
             raise ValueError("train.steps and train.batch_size must be positive")
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError("train.dtype must be 'float32' or 'bfloat16'")
+        if self.checkpoint_dtype not in ("float32", "bfloat16"):
+            raise ValueError("train.checkpoint_dtype must be 'float32' or 'bfloat16'")
         return self
 
 

@@ -86,9 +86,19 @@ def stream_track(
     """Run the fused decode→track pipeline over a source.
 
     tracker: Tracker or MultiTracker (duck-typed: init / step_device).
-    Returns summary stats (fps, frames). Per-frame records stream to
-    on_record with `readback_window` frames of latency — the device is never
-    drained mid-stream.
+    Returns summary stats (fps, frames, per-stage breakdown). Per-frame
+    records stream to on_record with `readback_window` frames of latency —
+    the device is never drained mid-stream.
+
+    Stage accounting (all measured in THIS run, not stitched):
+      * ingest_wait_s — time the consumer blocked on the decode pump
+        (decode-bound time; ~0 when the producer keeps up)
+      * submit_s      — host time in device_put + step dispatch (async: this
+        is submission cost, not device compute)
+      * readback_s    — time draining trailing result windows
+    The end-to-end fps is the pipeline's sustained rate with every stage
+    live; `drain_s` is the final flush of in-flight work (device compute
+    and transfers that overlapped the loop).
     """
     pump = FramePump(source, depth=pump_depth)
     it = iter(pump)
@@ -97,20 +107,43 @@ def stream_track(
 
     pending: list[tuple[int, Any]] = []
     n = 0
+    ingest_wait = submit = readback = 0.0
     t0 = time.perf_counter()
-    for i, frame in enumerate(it, start=1):
+    while True:
+        t = time.perf_counter()
+        frame = next(it, None)
+        ingest_wait += time.perf_counter() - t
+        if frame is None:
+            break
+        t = time.perf_counter()
         dev = jax.device_put(frame)  # async H2D; overlaps previous step
         out = tracker.step_device(dev)
-        pending.append((i, out))
+        submit += time.perf_counter() - t
         n += 1
+        pending.append((n, out))
         if len(pending) > readback_window:
             idx, old = pending.pop(0)
+            t = time.perf_counter()
             _emit(idx, old, on_record)
+            readback += time.perf_counter() - t
+    t = time.perf_counter()
     for idx, out in pending:
         _emit(idx, out, on_record)
-    jax.block_until_ready(getattr(tracker, "state"))
+    # Force full completion with a real readback (block_until_ready is
+    # unreliable on this rig's tunneled platform — see runtime/benchmark.py).
+    state = getattr(tracker, "state")
+    np.asarray(jax.tree_util.tree_leaves(state)[0])
+    drain = time.perf_counter() - t
     wall = time.perf_counter() - t0
-    return {"frames": n, "wall_s": wall, "fps": n / wall if wall > 0 else 0.0}
+    return {
+        "frames": n,
+        "wall_s": wall,
+        "fps": n / wall if wall > 0 else 0.0,
+        "ingest_wait_s": round(ingest_wait, 3),
+        "submit_s": round(submit, 3),
+        "readback_s": round(readback, 3),
+        "drain_s": round(drain, 3),
+    }
 
 
 def _emit(idx: int, out, on_record) -> None:

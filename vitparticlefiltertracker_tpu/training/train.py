@@ -71,8 +71,15 @@ def _train_embed_spec(cfg) -> DenseEmbedSpec:
     return es._replace(vit=vit, s_img=window)
 
 
-def build_train_step(cfg):
-    """Returns (init_fn() -> (params, opt_state), step_fn(params, opt, i))."""
+def build_train_step(cfg, mesh=None):
+    """Returns (init_fn() -> (params, opt_state), step_fn(params, opt, i)).
+
+    mesh: optional jax.sharding.Mesh with a "data" axis — the scene batch is
+    sharded over it (pure data parallelism: params/optimizer replicated, the
+    gradient AllReduce is inserted by GSPMD from the sharding annotations;
+    no hand-written collectives). Data generation itself runs sharded: each
+    device synthesizes only its batch shard.
+    """
     tr = cfg.train
     es = _train_embed_spec(cfg)
     tx = build_optimizer(tr)
@@ -83,6 +90,21 @@ def build_train_step(cfg):
         num_random=tr.num_random_negatives,
         template_jitter=tr.template_jitter,
     )
+    if mesh is not None and tr.batch_size % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"train.batch_size {tr.batch_size} must divide by the data-"
+            f"parallel axis {mesh.shape['data']}"
+        )
+
+    def _shard_batch(tree):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if mesh is None:
+            return tree
+        sh = NamedSharding(mesh, P("data"))  # dim 0 sharded, rest replicated
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, sh), tree
+        )
 
     def init_fn():
         params = init_vit_params(jax.random.key(cfg.filter.seed ^ 0x5EED), es.vit)
@@ -90,7 +112,11 @@ def build_train_step(cfg):
 
     def loss_fn(params, step):
         k = jax.random.fold_in(base_key, step)
-        batch = make_pair_batch(jax.random.fold_in(k, 0), tr.batch_size, tr.canvas)
+        batch = _shard_batch(
+            make_pair_batch(jax.random.fold_in(k, 0), tr.batch_size, tr.canvas)
+        )
+        # Keys stay replicated (key arrays + sharding constraints are
+        # version-sensitive); the vmapped loss follows the batch's sharding.
         keys = jax.random.split(jax.random.fold_in(k, 1), tr.batch_size)
         return batch_loss(params, es, batch, keys, **kw)
 
@@ -104,6 +130,16 @@ def build_train_step(cfg):
         return params, opt_state, metrics
 
     return init_fn, step_fn
+
+
+def make_data_mesh(n_devices: int):
+    """One-axis ("data",) mesh over the first n devices."""
+    import numpy as np_
+
+    from jax.sharding import Mesh
+
+    devs = np_.asarray(jax.devices()[:n_devices])
+    return Mesh(devs, ("data",))
 
 
 def train_features(cfg, log=None) -> dict:
@@ -144,6 +180,9 @@ def train_features(cfg, log=None) -> dict:
         import os
 
         os.makedirs(os.path.dirname(tr.checkpoint_out) or ".", exist_ok=True)
-        save_params(tr.checkpoint_out, jax.device_get(params))
+        to_save = jax.device_get(params)
+        if tr.checkpoint_dtype == "bfloat16":
+            to_save = jax.tree.map(lambda x: x.astype(jnp.bfloat16), to_save)
+        save_params(tr.checkpoint_out, to_save)
         log(f"saved {tr.checkpoint_out}")
     return params

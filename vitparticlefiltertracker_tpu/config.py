@@ -165,12 +165,19 @@ class TrackerConfig:
     redetect_window_boost: float = 1.5
     redetect_noise_boost: float = 2.0
     # GLOBAL re-detection (SURVEY.md §5.3; reference README.md:3 robustness):
-    # after `redetect_global_after` consecutive lost frames, score a coarse
-    # GxG grid of candidate boxes over the WHOLE frame (one extra ViT
-    # forward, executed only on the lost path via lax.cond) and re-seed the
-    # particle cloud at the best match if its cosine clears
-    # `redetect_accept_conf`. Recovers targets that left the (frozen) search
-    # window entirely during occlusion — the local window/noise boost above
+    # after `redetect_global_after` consecutive lost frames, scan the whole
+    # frame for the template and re-seed the particle cloud at the best
+    # match. In dense mode the scan is TILED: GxG windows at near-local-
+    # search scale (one batched ViT forward inside a lax.cond, executed only
+    # on the lost path) with a 3x3 candidate sub-grid per tile, so
+    # candidates are scored at the resolution the appearance model tracks
+    # at; crop mode embeds a flat GxG candidate grid at native crop
+    # resolution. A re-seed needs the winner's cosine to clear
+    # `redetect_accept_conf` AND to sit `redetect_accept_z` standard
+    # deviations above the candidate population (the z margin is
+    # feature-distribution agnostic — absolute cosines shift when weights
+    # change). Recovers targets that left the (frozen) search window
+    # entirely during occlusion — the local window/noise boost above
     # cannot. 0 disables. Requires lost detection (filter.lost_conf_threshold
     # > 0). NOTE: in banked (vmapped) trackers lax.cond lowers to select, so
     # the global scan's cost is paid EVERY step — leave disabled there or
@@ -178,6 +185,7 @@ class TrackerConfig:
     redetect_global_after: int = 0
     redetect_global_grid: int = 7
     redetect_accept_conf: float = 0.0
+    redetect_accept_z: float = 0.0
     estimate: str = "mean"  # "mean" | "mode" (highest-weight particle)
 
     def resolve(self) -> "TrackerConfig":

@@ -89,8 +89,8 @@ def make_dense_embedder(
     (particles, then the template-EMA estimate) — not left to XLA CSE.
     """
     spec = es.vit
-    s_img, patch = es.s_img, es.patch
-    grid = s_img // patch
+    s_img = es.s_img
+    grid = s_img // es.patch
     window = normalize_window(extract_window_mxu(frame_f32, center, side, s_img))
     feat = vit_forward_tokens(prm, window[None], spec)[0]
     feat = feat.reshape(grid, grid, spec.dim)
@@ -100,18 +100,68 @@ def make_dense_embedder(
     mean_emb = jnp.mean(feat.reshape(-1, spec.dim), axis=0)
 
     def pool(boxes_xy: jax.Array, boxes_wh: jax.Array):
-        win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
-        gxy = (win_px - (patch - 1) / 2.0) / patch  # feature-grid coords
-        gwh = boxes_wh / side * s_img / patch
-        if es.appearance == "cells":
-            k = es.roi_grid
-            emb = roi_cells_mxu(feat, gxy, gwh, k)  # [M, K, K, D]
-            emb = emb.reshape(emb.shape[0], k * k, spec.dim)
-        else:
-            emb = roi_pool_mxu(feat, gxy, gwh, es.roi_grid)  # [M, D]
-        if es.center_features:
-            emb = center_embeddings(emb, mean_emb)
-        in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
-        return emb, in_win
+        return pool_from_feat(feat, mean_emb, center, side, es, boxes_xy, boxes_wh)
 
     return pool
+
+
+def pool_from_feat(
+    feat: jax.Array,  # [grid, grid, D] window token features
+    mean_emb: jax.Array,  # [D] window-mean embedding
+    center: jax.Array,  # [2] window center, frame px
+    side: jax.Array,  # [] window side, frame px
+    es: DenseEmbedSpec,
+    boxes_xy: jax.Array,  # [M, 2] box centers, frame px
+    boxes_wh: jax.Array,  # [M, 2] box sizes, frame px
+):
+    """ROI-pool per-box embeddings from an already-computed window feature
+    grid. Shared by make_dense_embedder's pool() and the tiled global
+    re-detection scan (which batches many windows through one forward)."""
+    s_img, patch = es.s_img, es.patch
+    win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
+    gxy = (win_px - (patch - 1) / 2.0) / patch  # feature-grid coords
+    gwh = boxes_wh / side * s_img / patch
+    if es.appearance == "cells":
+        k = es.roi_grid
+        emb = roi_cells_mxu(feat, gxy, gwh, k)  # [M, K, K, D]
+        emb = emb.reshape(emb.shape[0], k * k, feat.shape[-1])
+    else:
+        emb = roi_pool_mxu(feat, gxy, gwh, es.roi_grid)  # [M, D]
+    if es.center_features:
+        emb = center_embeddings(emb, mean_emb)
+    in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
+    return emb, in_win
+
+
+def tiled_window_embed(
+    prm: dict,
+    frame_f32: jax.Array,  # [H, W, 3]
+    tile_ctrs: jax.Array,  # [G, 2] tile window centers, frame px
+    tile_side: jax.Array,  # [] tile window side, frame px
+    es: DenseEmbedSpec,
+    cand_xy: jax.Array,  # [G, C, 2] candidate box centers per tile, frame px
+    cand_wh: jax.Array,  # [2] candidate box size, frame px
+):
+    """Embed C candidate boxes in each of G tile windows with ONE batched
+    ViT forward (global re-detection, SURVEY.md §5.3).
+
+    Each tile is a window at near-local-search scale, so candidates are
+    scored at the SAME resolution the appearance model tracks (and was
+    trained) at — a single whole-frame window squeezes a 640px frame into
+    224 tokens and starves the features of resolution (the round-2 trained
+    checkpoint exposed this: whole-frame re-detection scored garbage).
+    Returns (emb [G, C, ...], valid [G, C])."""
+    spec = es.vit
+    grid = es.s_img // es.patch
+    windows = jax.vmap(
+        lambda c: normalize_window(
+            extract_window_mxu(frame_f32, c, tile_side, es.s_img)
+        )
+    )(tile_ctrs)
+    feats = vit_forward_tokens(prm, windows, spec)  # [G, T, D]
+    feats = feats.reshape(feats.shape[0], grid, grid, spec.dim)
+    mean_embs = jnp.mean(feats, axis=(1, 2))  # [G, D]
+    wh = jnp.broadcast_to(cand_wh, cand_xy.shape[1:])
+    return jax.vmap(
+        lambda f, m, ctr, cxy: pool_from_feat(f, m, ctr, tile_side, es, cxy, wh)
+    )(feats, mean_embs, tile_ctrs, cand_xy)

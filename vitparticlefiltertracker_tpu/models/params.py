@@ -9,11 +9,18 @@ weights) via `model.checkpoint` in config.yaml.
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def ml_dtypes_name_to_dtype(name: str) -> np.dtype:
+    import ml_dtypes
+
+    return np.dtype(getattr(ml_dtypes, name))
 
 from vitparticlefiltertracker_tpu.models.vit import VitSpec, init_vit_params
 
@@ -65,7 +72,18 @@ def save_params(path: str, params) -> None:
     """
     if path.endswith(".npz"):
         flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+        # numpy's npz codec has no notion of ml_dtypes (bfloat16 round-trips
+        # as raw void "|V2" and is unreadable by jnp.asarray). Store such
+        # leaves as same-width uint views plus a dtype sidecar.
+        dtypes = {}
+        for k, v in flat.items():
+            if v.dtype.kind == "V":
+                dtypes[k] = str(v.dtype)
+                flat[k] = v.view(f"u{v.dtype.itemsize}")
         flat["__vpt_format__"] = np.asarray(FORMAT_VERSION)
+        flat["__vpt_dtypes__"] = np.frombuffer(
+            json.dumps(dtypes).encode(), dtype=np.uint8
+        )
         np.savez(path, **flat)
         return
     import orbax.checkpoint as ocp
@@ -79,7 +97,19 @@ def save_params(path: str, params) -> None:
 def load_params(path: str):
     if path.endswith(".npz"):
         with np.load(path) as z:
-            flat = {k: jnp.asarray(z[k]) for k in z.files}
+            raw = {k: z[k] for k in z.files}
+        dtypes = {}
+        if "__vpt_dtypes__" in raw:
+            dtypes = json.loads(raw.pop("__vpt_dtypes__").tobytes().decode())
+        flat = {}
+        for k, v in raw.items():
+            if k in dtypes:
+                v = v.view(ml_dtypes_name_to_dtype(dtypes[k]))
+            elif v.dtype.kind == "V" and v.dtype.itemsize == 2:
+                # Legacy file saved before the dtype sidecar: the only
+                # 2-byte void leaves we ever wrote were bfloat16.
+                v = v.view(ml_dtypes_name_to_dtype("bfloat16"))
+            flat[k] = jnp.asarray(v)
         version = int(flat.pop("__vpt_format__", 0))
         if version not in (0, FORMAT_VERSION):
             raise ValueError(

@@ -36,6 +36,7 @@ from vitparticlefiltertracker_tpu.filters.particle import (
 from vitparticlefiltertracker_tpu.models.embedder import (
     DenseEmbedSpec,
     make_dense_embedder,
+    tiled_window_embed,
 )
 from vitparticlefiltertracker_tpu.models.vit import (
     VitSpec,
@@ -297,7 +298,9 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
                 (1.0 - ema) * state.template
                 + ema * l2_normalize(est_emb[0].astype(jnp.float32))
             )
-            do_upd = (conf > upd_conf) & ~lost
+            # ~state.lost: on a re-lock frame est_emb came from the still-
+            # boosted window (scale-mismatched features) — skip one update.
+            do_upd = (conf > upd_conf) & ~lost & ~state.lost
             template = jnp.where(do_upd, cand, state.template)
         else:
             template = state.template
@@ -319,31 +322,75 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         n_after = t.redetect_global_after
         if n_after > 0:
             g = t.redetect_global_grid
+            c_sub = 3  # candidate sub-grid per tile (dense tiled scan)
             h_px, w_px = int(frame_u8.shape[0]), int(frame_u8.shape[1])
             gxs = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (w_px / g)
             gys = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (h_px / g)
-            cand_xy = jnp.stack(
+            tile_ctrs = jnp.stack(
                 [jnp.tile(gxs, g), jnp.repeat(gys, g)], axis=-1
             )  # [G*G, 2] row-major over the frame
             frame_ctr = jnp.asarray([w_px / 2.0, h_px / 2.0], jnp.float32)
             frame_side = jnp.float32(max(h_px, w_px))
             trigger = lost_count >= n_after
+            cand_wh = state.box_wh * state.prev_scale
 
             def scan_fn(_):
-                pool_g = make_embedder(prm, frame_f32, frame_ctr, frame_side)
-                cand_wh = jnp.broadcast_to(
-                    state.box_wh * state.prev_scale, cand_xy.shape
-                )
-                emb_g, valid_g = pool_g(cand_xy, cand_wh)
+                if mode == "dense":
+                    # Tiled scan: G*G windows at near-local-search scale
+                    # (one BATCHED ViT forward), C*C candidate boxes per
+                    # tile — candidates are scored at the resolution the
+                    # appearance model operates at, not squeezed through a
+                    # single whole-frame window (models/embedder.py:
+                    # tiled_window_embed).
+                    tile_side = jnp.maximum(1.25 * frame_side / g, side)
+                    oxs = (jnp.arange(c_sub, dtype=jnp.float32) - (c_sub - 1) / 2) * (
+                        w_px / (g * c_sub)
+                    )
+                    oys = (jnp.arange(c_sub, dtype=jnp.float32) - (c_sub - 1) / 2) * (
+                        h_px / (g * c_sub)
+                    )
+                    offs = jnp.stack(
+                        [jnp.tile(oxs, c_sub), jnp.repeat(oys, c_sub)], axis=-1
+                    )  # [C*C, 2]
+                    cand = tile_ctrs[:, None, :] + offs[None, :, :]  # [G2, C2, 2]
+                    emb_g, valid_g = tiled_window_embed(
+                        prm, frame_f32, tile_ctrs, tile_side, dense_es, cand, cand_wh
+                    )
+                    emb_g = emb_g.reshape(g * g * c_sub * c_sub, *emb_g.shape[2:])
+                    valid_g = valid_g.reshape(-1)
+                    cand_flat = cand.reshape(-1, 2)
+                else:
+                    # Crop mode embeds each candidate at native crop
+                    # resolution already; a single flat grid suffices.
+                    pool_g = make_embedder(prm, frame_f32, frame_ctr, frame_side)
+                    cand_flat = tile_ctrs
+                    emb_g, valid_g = pool_g(
+                        cand_flat, jnp.broadcast_to(cand_wh, cand_flat.shape)
+                    )
                 _, cos_g = cosine_log_likelihood(emb_g, tmpl, 1.0)
                 cos_g = jnp.where(valid_g, cos_g, -2.0)
                 b = jnp.argmax(cos_g)
-                return cand_xy[b], cos_g[b]
+                # Feature-agnostic acceptance margin: how far the winner
+                # sits above the candidate population (absolute cosine
+                # thresholds are feature-distribution dependent — trained
+                # features shift the whole distribution).
+                nv = jnp.maximum(jnp.sum(valid_g), 1)
+                mu = jnp.sum(jnp.where(valid_g, cos_g, 0.0)) / nv
+                var = jnp.sum(jnp.where(valid_g, (cos_g - mu) ** 2, 0.0)) / nv
+                z = (cos_g[b] - mu) * jax.lax.rsqrt(var + 1e-8)
+                return cand_flat[b], cos_g[b], z
 
-            best_xy, best_cos = jax.lax.cond(
-                trigger, scan_fn, lambda _: (state.center, jnp.float32(-2.0)), None
+            best_xy, best_cos, best_z = jax.lax.cond(
+                trigger,
+                scan_fn,
+                lambda _: (state.center, jnp.float32(-2.0), jnp.float32(0.0)),
+                None,
             )
-            accept = trigger & (best_cos >= t.redetect_accept_conf)
+            accept = (
+                trigger
+                & (best_cos >= t.redetect_accept_conf)
+                & (best_z >= t.redetect_accept_z)
+            )
             # Re-seed: fresh cloud spread over the winning grid cell, zero
             # velocity, uniform weights. Distinct RNG stream from the step
             # noise: split(k, n)[i] == fold_in(k, i) in threefry, so the fold
@@ -366,6 +413,17 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             )
             new_center = jnp.where(accept, best_xy, new_center)
             lost_count = jnp.where(accept, jnp.int32(0), lost_count)
+            # A confident global match IS the re-acquisition: clear lost so
+            # the next step runs unboosted around the re-seeded cloud.
+            # Waiting for conf to re-cross lost_thresh instead never
+            # converges — the boosted window shifts the whole cosine
+            # distribution down, and repeated re-seeds (each resetting the
+            # cloud) wobble the estimate indefinitely. If the match was
+            # wrong, conf stays low and lost re-fires one frame later.
+            scale_frozen = lost  # prev_scale: pre-reseed estimate is stale
+            lost = lost & ~accept
+        else:
+            scale_frozen = lost
 
         new_state = TrackerState(
             pf=new_pf,
@@ -373,7 +431,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             anchor=state.anchor,
             box_wh=state.box_wh,
             center=new_center,
-            prev_scale=jnp.where(lost, state.prev_scale, est_scale),
+            prev_scale=jnp.where(scale_frozen, state.prev_scale, est_scale),
             key=state.key,
             frame_idx=state.frame_idx + 1,
             conf=conf,

@@ -40,7 +40,8 @@ def test_committed_configs_load(path):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize(
-    "name", ["moving-square", "occlusion", "needle", "surveillance"]
+    "name", ["moving-square", "occlusion", "needle", "surveillance",
+             "teleport", "photometric"]
 )
 def test_synthetic_sources(name):
     src = open_source(f"synthetic:{name}", num_frames=6, frame_size=(120, 160))
@@ -49,6 +50,35 @@ def test_synthetic_sources(name):
     assert frames[0].shape == (120, 160, 3) and frames[0].dtype == np.uint8
     assert src.truth.shape == (6, 2)
     assert src.init_bbox.shape == (4,)
+
+
+def test_photometric_clip_jitters_exposure():
+    """The photometric clip's whole-frame brightness must swing frame to
+    frame (that's the invariance stressor); truth still marks the target."""
+    src = open_source("synthetic:photometric", num_frames=12, frame_size=(128, 128))
+    means = np.array([f.mean() for f in src])
+    assert means.std() > 4.0, means  # strong global exposure jitter
+    # moving-square (same motion, no jitter) is much steadier
+    base = open_source("synthetic:moving-square", num_frames=12, frame_size=(128, 128))
+    base_means = np.array([f.mean() for f in base])
+    assert means.std() > 3 * base_means.std()
+
+
+def test_multi_clip_targets_pairwise_distinct():
+    """All K patterns must differ — the old discrete channel rotation made
+    targets i and i+3 pixel-identical, so crossing 'twins' swapped identity
+    (no appearance model can resolve identical targets)."""
+    from vitparticlefiltertracker_tpu.io.synthetic import make_multi_clip
+
+    frames, truth, bboxes = make_multi_clip(8, num_frames=1, height=720, width=1280)
+    crops = []
+    for k in range(8):
+        x, y, w, h = bboxes[k]
+        crops.append(frames[0, int(y) : int(y + h), int(x) : int(x + w)].astype(np.float32))
+    for i in range(8):
+        for j in range(i + 1, 8):
+            diff = np.abs(crops[i] - crops[j]).mean()
+            assert diff > 8.0, (i, j, diff)
 
 
 def test_image_sequence_source(tmp_path):

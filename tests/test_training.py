@@ -53,11 +53,15 @@ def test_pair_batch_counter_deterministic():
     assert np.abs(np.asarray(a.frame1) - np.asarray(c.frame1)).mean() > 1.0
 
 
-def test_ring_offsets_clear_of_target():
+def test_ring_offsets_cover_fine_and_clear_radii():
     offs = np.asarray(ring_offsets())
-    assert offs.shape == (24, 2)
-    # Every negative is at least one box-size away from the true center.
-    assert np.all(np.linalg.norm(offs, axis=1) >= 1.0 - 1e-6)
+    assert offs.shape == (32, 2)
+    r = np.linalg.norm(offs, axis=1)
+    # Fine overlapping negatives (localization sharpness) ...
+    assert np.isclose(r.min(), 0.55, atol=1e-5)
+    # ... through clearly-separated ones (discrimination range).
+    assert r.max() >= 3.0 - 1e-6
+    assert np.all(r >= 0.5)  # never so close the label is ambiguous
 
 
 def test_decay_mask_kernels_only():

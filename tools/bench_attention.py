@@ -53,16 +53,41 @@ SHAPES = [
 ]
 
 
-def time_fn(fn, *args, reps: int) -> float:
-    out = fn(*args)
-    np.asarray(out[0, 0, 0])  # compile + drain
-    times = []
+def time_fn(fn, *args, reps: int, inner: int = 16) -> float:
+    """Per-call ms by TWO-LENGTH DIFFERENCING: time a jitted scan of the
+    kernel at `inner` and `2*inner` data-dependent iterations and take the
+    slope ((t2 - t1) / inner). The relay RTT, dispatch overhead, and any
+    per-call constant cancel exactly — absolute netting against a separately
+    measured RTT floor proved fragile on this rig (the RTT varies 27-200 ms
+    between calm and congested windows, which once produced a physically
+    impossible 0.0 ms for a kernel with a >=1 ms MXU floor). The scan output
+    feeds back into the input so XLA cannot elide iterations."""
+    import jax
+
+    def make(length):
+        def loop(q, k, v):
+            def body(qc, _):
+                o = fn(qc, k, v)
+                return (o * 1e-3 + qc).astype(qc.dtype), ()
+
+            out, _ = jax.lax.scan(body, q, None, length=length)
+            return out
+
+        return jax.jit(loop)
+
+    looped1, looped2 = make(inner), make(2 * inner)
+    for lp in (looped1, looped2):
+        out = lp(*args)
+        np.asarray(out[0, 0, 0])  # compile + drain
+    t1s, t2s = [], []
     for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(out[0, 0, 0])  # force completion via readback
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) * 1e3
+        for lp, acc in ((looped1, t1s), (looped2, t2s)):
+            t0 = time.perf_counter()
+            out = lp(*args)
+            np.asarray(out[0, 0, 0])  # force completion via readback
+            acc.append(time.perf_counter() - t0)
+    per_call = (float(np.median(t2s)) - float(np.median(t1s))) / inner
+    return max(per_call, 0.0) * 1e3
 
 
 def main() -> int:
@@ -91,8 +116,16 @@ def main() -> int:
             "dtype": args.dtype,
             "backend": backend,
         }
+        # Loop length targeting ~0.3 s of device work per timed sample, so
+        # the sub-ms kernels at production shapes don't vanish into the
+        # ~30 ms relay RTT (a flat inner=16 measured 0.0 everywhere).
+        flops = 4.0 * b * h * t * t * d
+        est_s = max(flops / 5e13, 3e-5)  # ~50 TFLOPs effective, 30us floor
+        inner = int(min(4096, max(8, 0.3 / est_s)))
         try:
-            row["xla_ms"] = round(time_fn(ref_jit, q, k, v, reps=args.reps), 3)
+            row["xla_ms"] = round(
+                time_fn(ref_jit, q, k, v, reps=args.reps, inner=inner), 3
+            )
         except Exception as e:  # OOM at huge T is itself a datapoint
             row["xla_ms"] = None
             row["xla_error"] = type(e).__name__
@@ -100,7 +133,8 @@ def main() -> int:
             try:
                 row["flash_ms"] = round(
                     time_fn(
-                        functools.partial(flash_attention), q, k, v, reps=args.reps
+                        functools.partial(flash_attention), q, k, v,
+                        reps=args.reps, inner=inner,
                     ),
                     3,
                 )

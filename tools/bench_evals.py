@@ -52,7 +52,17 @@ def main() -> int:
         "BASELINE.json pins to CPU; env JAX_PLATFORMS is overridden by the "
         "axon plugin on this rig, so the flag sets jax_platforms directly)",
     )
+    ap.add_argument(
+        "--render-only", action="store_true",
+        help="regenerate BENCH_RESULTS.md from the recorded JSONLs "
+        "(docs/bench_evals_*.jsonl, docs/bench_stream_e2e.jsonl) without "
+        "running anything",
+    )
     args = ap.parse_args()
+
+    if args.render_only:
+        render_md("tpu")
+        return 0
 
     import jax
 
@@ -95,47 +105,91 @@ def main() -> int:
         for r in results:
             f.write(json.dumps(r) + "\n")
 
-    if len(results) < len(EVALS):
-        # Partial run (--only / single-backend): record the JSONL but leave
-        # the full-table markdown to a complete sweep.
-        print(f"wrote {jsonl} (partial run; BENCH_RESULTS.md untouched)")
-        return 0
+    render_md(backend)
+    print(f"wrote BENCH_RESULTS.md and {jsonl}")
+    return 0
 
+
+def _read_jsonl(name: str) -> list[dict]:
+    path = os.path.join(REPO, "docs", name)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def render_md(primary_backend: str) -> None:
+    """BENCH_RESULTS.md from every recorded JSONL: the device eval sweep,
+    backend-pinned extra rows (eval 1 on CPU, per BASELINE.json), and the
+    measured end-to-end streaming pipeline runs."""
     md = os.path.join(REPO, "docs", "BENCH_RESULTS.md")
+    rows = _read_jsonl(f"bench_evals_{primary_backend}.jsonl")
     with open(md, "w") as f:
         f.write(
             "# BASELINE.md eval-config results\n\n"
-            f"Backend: **{backend}** — one TPU v5e chip behind this rig's "
-            "~30 ms host<->device relay. All timings are bounded by real "
-            "position readbacks (`jax.block_until_ready` is a no-op on this "
-            "platform); `fps` is the offline whole-clip scan "
+            f"Backend: **{primary_backend}** — one TPU v5e chip behind this "
+            "rig's ~30 ms host<->device relay. All timings are bounded by "
+            "real position readbacks (`jax.block_until_ready` is a no-op on "
+            "this platform); `fps` is the offline whole-clip scan "
             "(`track_clip_device`), `fps_serving` the chunked per-step path, "
             "`p50_device_ms` the per-step latency net of the relay RTT.\n\n"
-            "| eval | config | fps (offline) | fps (serving) | p50 ms "
-            "| p50 device ms | notes |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "| eval | config | backend | fps (offline) | fps (serving) "
+            "| p50 ms | p50 device ms | notes |\n"
+            "|---|---|---|---|---|---|---|---|\n"
         )
-        for r in results:
+
+        def write_row(r, backend, notes=None):
             if "error" in r:
-                f.write(f"| {r['eval']} | `{r['config_file']}` | FAILED | | | "
-                        f"| {r['error'][:80]} |\n")
-                continue
+                f.write(f"| {r['eval']} | `{r['config_file']}` | {backend} "
+                        f"| FAILED | | | | {r['error'][:80]} |\n")
+                return
             f.write(
-                f"| {r['eval']} | `{r['config_file']}` | {r['fps']:.1f} "
-                f"| {r['fps_serving']:.1f} | {r['p50_ms']:.1f} "
-                f"| {r['p50_device_ms']:.2f} | {r['notes']} |\n"
+                f"| {r['eval']} | `{r['config_file']}` | {backend} "
+                f"| {r['fps']:.1f} | {r['fps_serving']:.1f} "
+                f"| {r['p50_ms']:.1f} | {r['p50_device_ms']:.2f} "
+                f"| {notes if notes is not None else r.get('notes', '')} |\n"
             )
+
+        cpu_rows = {r["eval"]: r for r in _read_jsonl("bench_evals_cpu.jsonl")}
+        for r in rows:
+            write_row(r, primary_backend)
+            if r["eval"] in cpu_rows:  # BASELINE.json pins eval 1 to CPU
+                write_row(cpu_rows[r["eval"]], "cpu",
+                          "the backend BASELINE.json:7 specifies "
+                          "(this rig's host: ONE CPU core)")
         f.write(
             "\nTargets (BASELINE.md): >=60 fps/chip at ViT-B/16 + 1k "
             "particles (eval 2 config), p50 < 16 ms.\n\n"
-            "Eval 5 note: its offline number amortizes the relay RTT over "
-            "only 4 staged 4K frames (staging more is transport-prohibitive "
-            "here); see p50_device_ms for the on-chip step rate. Host-side "
-            "ingest for eval 5 is benchmarked by tools/bench_native_io.py "
-            "(native C++ ring vs Python producer).\n"
+            "Eval 5's device-staged row amortizes the relay RTT over only 4 "
+            "staged 4K frames (staging more is transport-prohibitive here); "
+            "see p50_device_ms for the on-chip step rate.\n"
         )
-    print(f"wrote {md} and {jsonl}")
-    return 0
+        stream = _read_jsonl("bench_stream_e2e.jsonl")
+        if stream:
+            f.write(
+                "\n## Measured end-to-end streaming pipeline "
+                "(tools/bench_stream_e2e.py)\n\n"
+                "ONE live fused decode->track run per row — native C++ "
+                "prefetch ring -> FramePump -> async H2D -> jitted step -> "
+                "trailing readback; nothing stitched. On this rig every "
+                "frame crosses the ~"
+                f"{stream[-1].get('h2d_MBps', 0):.0f} MB/s relay, so the "
+                "pipeline is transport-bound (`drain_s` ~= in-flight "
+                "transfers+compute at exit; `ingest_wait_s` ~0 means the "
+                "C++ ring always kept up). On a co-located host the same "
+                "pipeline rides PCIe/DMA instead.\n\n"
+                "| variant | model/particles | frame | fps (e2e) | ingest "
+                "wait s | submit s | drain s | H2D MB/s | frame MB |\n"
+                "|---|---|---|---|---|---|---|---|---|\n"
+            )
+            for r in stream:
+                f.write(
+                    f"| {r['variant']} | {r['model']}/{r['particles']} "
+                    f"| {r['frame'][0]}x{r['frame'][1]} | {r['fps']} "
+                    f"| {r['ingest_wait_s']} | {r['submit_s']} "
+                    f"| {r['drain_s']} | {r['h2d_MBps']} | {r['frame_MB']} |\n"
+                )
+    print(f"wrote {md}")
 
 
 if __name__ == "__main__":

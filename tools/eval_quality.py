@@ -41,7 +41,8 @@ RUNS = os.path.join(REPO, "docs", "quality_runs.jsonl")
 GEOMETRIES = {
     "flagship": {
         "model": "vit-b16", "particles": 1024, "frame": (480, 640), "banks": 1,
-        "clips": ["moving-square", "occlusion", "needle", "surveillance", "teleport"],
+        "clips": ["moving-square", "occlusion", "needle", "surveillance",
+                  "teleport", "photometric"],
     },
     "eval3": {  # BASELINE: ViT-L/16, 4k particles, 1080p needle
         "model": "vit-l16", "particles": 4096, "frame": (1080, 1920), "banks": 1,
@@ -54,12 +55,22 @@ GEOMETRIES = {
 }
 
 CLIP_OVERRIDES = {
-    "occlusion": {"filter.lost_conf_threshold": "0.6"},
+    # Occlusion gets the full robustness stack: lost gating (freezes the
+    # template + window during the sweep) AND global re-detection, so a
+    # swept-away lock recovers even when the target re-emerges outside the
+    # frozen window (trained-weights seed-1 previously never re-acquired).
+    "occlusion": {
+        "filter.lost_conf_threshold": "0.6",
+        "tracker.redetect_global_after": "4",
+        "tracker.redetect_accept_conf": "0.25",
+        "tracker.redetect_accept_z": "3.0",
+    },
     "surveillance": {"filter.motion.sigma_pos": "4.0"},
     "teleport": {
         "filter.lost_conf_threshold": "0.6",
         "tracker.redetect_global_after": "3",
-        "tracker.redetect_accept_conf": "0.3",
+        "tracker.redetect_accept_conf": "0.25",
+        "tracker.redetect_accept_z": "3.0",
     },
 }
 

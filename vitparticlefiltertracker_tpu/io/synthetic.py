@@ -62,6 +62,11 @@ def make_clip(
                         "dynamic and complex environments"). Truth during
                         the hidden gap is pinned to the reappearance point;
                         score only frames after `teleport_times()[1]`.
+      photometric     — moving-square motion under strong per-frame
+                        photometric perturbation (global+per-channel gain,
+                        bias, heavy sensor noise): the appearance-invariance
+                        stressor (README.md:3 "dynamic environments") where
+                        learned features must beat raw random projections.
     """
     rng = np.random.default_rng(seed)
     bg = _textured_background(rng, height, width)
@@ -121,6 +126,14 @@ def make_clip(
             # occluder bar sweeps across the target region
             ox = int(cx - tw)
             f[:, max(0, ox) : max(0, ox) + 2 * tw] = np.array([90.0, 90.0, 90.0])
+        if name == "photometric":
+            # Per-frame exposure/white-balance/noise jitter, wider than the
+            # feature trainer's augmentation band (training/data.py) so the
+            # eval measures generalization of the learned invariance.
+            gain = np.exp(rng.normal(0.0, 0.18))
+            ch_gain = np.exp(rng.normal(0.0, 0.10, size=3))
+            f = f * (gain * ch_gain)[None, None, :] + rng.uniform(-24.0, 24.0)
+            f += rng.normal(0, 5.0, size=f.shape)
         frames[t] = np.clip(f, 0, 255).astype(np.uint8)
         truth[t] = (cx, cy)
 
@@ -164,11 +177,19 @@ def make_multi_clip(
     r = np.sqrt(rx**2 + ry**2)
     core = np.clip(1.0 - r, 0.0, 1.0)
     rim = 200 * np.clip(r - 0.3, 0, 1)
+    # Continuous hue rotation: k DISTINCT patterns. (The old discrete
+    # channel rotation had period 3, so targets i and i+3 were pixel-
+    # identical — crossing twins are unresolvable by ANY appearance model
+    # and eval4 runs tanked on the inevitable identity swap.)
     chans = [40 + 215 * core, 30 + 120 * core * core, rim]
-    patterns = [
-        np.stack([chans[i % 3], chans[(i + 1) % 3], chans[(i + 2) % 3]], axis=-1)
-        for i in range(k)
-    ]
+    base = np.stack(chans, axis=-1)  # [th, tw, 3]
+    patterns = []
+    for i in range(k):
+        hue = 3.0 * i / k
+        j0, frac = int(hue) % 3, hue - int(hue)
+        a = base[..., [(j0 + c) % 3 for c in range(3)]]
+        b = base[..., [(j0 + 1 + c) % 3 for c in range(3)]]
+        patterns.append((1.0 - frac) * a + frac * b)
 
     # Starting cells on a ceil(sqrt(K)) grid; per-target velocity/phase.
     side = int(np.ceil(np.sqrt(k)))

@@ -44,45 +44,53 @@ def reference_attention(
 # ---------------------------------------------------------------------------
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int, scale: float, precision
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, kv_len: int, block_k: int, num_kb: int, scale: float, precision,
 ):
-    """One (batch*head, q-block) program: online softmax over k/v blocks.
+    """One (batch*head, q-block, k-block) program of the online softmax.
 
-    q_ref: [1, block_q, d]; k_ref/v_ref: [1, T_pad, d] (whole sequence for
-    this head, resident in VMEM — ViT sequences are short); o_ref like q_ref.
-    Padding keys (index >= kv_len) are masked to -inf before the softmax.
+    The k/v sequence is STREAMED across the grid's innermost dimension —
+    q_ref/o_ref: [1, block_q, d]; k_ref/v_ref: [1, block_k, d] — so VMEM use
+    is independent of T (the first all-of-K/V-resident version failed to
+    compile at 4K global encodes, T=32.6k: 2x8.4 MB of K/V per head).
+    Softmax statistics and the output accumulator live in VMEM scratch,
+    carried across the sequential k-block steps; the output block is
+    written once, on the last k-block visit. Padding keys (index >= kv_len)
+    are masked to -inf before the softmax.
     """
-    q = q_ref[0].astype(jnp.float32) * scale
-    block_q, d = q.shape
-    t_pad = k_ref.shape[1]
-    num_kb = t_pad // block_k
+    kb = pl.program_id(2)
 
-    def body(ib, carry):
-        acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(ib * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(ib * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [block_q, block_k]
-        col = ib * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, -jnp.inf)
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        return acc_new, m_new, l_new
+    # MXU dots run in the INPUT dtype (bf16 in production — 4x the f32
+    # MXU rate) with f32 accumulation; softmax statistics stay f32. The
+    # scale is applied to the f32 logits, not the bf16 operands.
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * scale  # [block_q, block_k]
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, -jnp.inf)
 
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    m = m_ref[:, :1]
+    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m - m_new)
+    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kb == num_kb - 1)
+    def _flush():
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -97,8 +105,8 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     *,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
     precision=None,
 ) -> jax.Array:
@@ -113,7 +121,13 @@ def flash_attention(
     dtype = q.dtype
     scale = 1.0 / math.sqrt(d)
 
-    t_pad = _round_up(t, max(block_q, block_k))
+    # Big blocks win at the global-encode shapes the gate dispatches here
+    # (v5e sweep: 27 ms at 128x128 -> 2.6 ms at 1024x1024 for 1080p ViT-B;
+    # 2048x2048 exceeds VMEM). Clamp to the padded sequence so small test
+    # shapes don't inflate 5x.
+    block_q = min(block_q, _round_up(t, 128))
+    block_k = min(block_k, _round_up(t, 128))
+    t_pad = _round_up(t, math.lcm(block_q, block_k))
     d_pad = _round_up(d, 128)
 
     def pad(x):
@@ -123,41 +137,57 @@ def flash_attention(
     kp = pad(k).reshape(b * h, t_pad, d_pad)
     vp = pad(v).reshape(b * h, t_pad, d_pad)
 
-    grid = (b * h, t_pad // block_q)
+    num_kb = t_pad // block_k
+    grid = (b * h, t_pad // block_q, num_kb)
     kernel = functools.partial(
-        _flash_kernel, kv_len=t, block_k=block_k, scale=scale, precision=precision
+        _flash_kernel, kv_len=t, block_k=block_k, num_kb=num_kb,
+        scale=scale, precision=precision,
     )
+    scratch = []
+    if pltpu is not None:
+        scratch = [
+            pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max (lane-bcast)
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum (lane-bcast)
+        ]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d_pad), dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, t_pad, d_pad), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, t_pad, d_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0)),
+        scratch_shapes=scratch,
+        compiler_params=(
+            pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")
+            )
+            if pltpu is not None and not interpret
+            else None
+        ),
         interpret=interpret,
     )(qp, kp, vp)
     return out.reshape(b, h, t_pad, d_pad)[:, :, :t, :d]
 
 
-# Measured crossover on v5e (2026-08): XLA's fused attention wins at
-# tracking's short sequences (196-token windows: flash is ~20% slower from
-# d 64->128 lane padding + program overhead) and stays ahead through
-# T=4096 (11.2 vs 14.5 ms at B=1,H=16); at T=8192 the materialized
-# [B, H, T, T] logits blow past HBM-friendly sizes and XLA collapses
-# (1934 ms vs flash's 121 ms — 16x). Gate on the logits element count, the
-# quantity that actually explodes. Global-frame encodes (1080p ~ 8.1k
-# tokens) land squarely in the flash regime.
+# Measured crossover on v5e (2026-08, docs/bench_attention.jsonl, RTT-
+# netted looped timing): XLA's fused attention wins every tracking shape —
+# 196-token windows at any stream count (multistream-64: 0.28 ms vs flash
+# 1.49 ms) and 720p global encodes (1.6e8 logits: 0.68 vs 2.8 ms). The flip
+# is between 1.6e8 and 8e8 logits: at 1080p global encodes (8e8) XLA's
+# materialized [B, H, T, T] collapses (330 ms vs flash 13.4 ms — 25x), and
+# at 4K (1.3e10) XLA cannot run at all while the streamed kernel (VMEM
+# independent of T) does. Gate on the logits element count, the quantity
+# that actually explodes, at 4e8 — midway between the measured brackets.
 #
 # The gate sees EXECUTED logits: callers under vmap (banked / multistream
 # trackers — runtime/banked.py) pass their mapped bank/stream count as
-# `batch_hint`, since tracing shapes don't show the mapped axis. The
-# threshold keeps a 5x margin below the measured single-example crossover
-# for unhinted callers; per-shape measurements live in
-# docs/bench_attention.jsonl (tools/bench_attention.py).
-FLASH_MIN_LOGITS_ELEMS = 1e8
+# `batch_hint`, since tracing shapes don't show the mapped axis.
+# Re-measure with tools/bench_attention.py.
+FLASH_MIN_LOGITS_ELEMS = 4e8
 
 
 def multi_head_attention(

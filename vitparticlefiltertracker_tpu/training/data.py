@@ -120,10 +120,18 @@ def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
     frame1 = frame1 * (1.0 - occ_mask)[None, :, None] + occ_color * occ_mask[None, :, None]
 
     gain = jnp.exp(0.15 * jax.random.normal(ks[17], ()))
-    k_noise0, k_noise1, k_bias = jax.random.split(jax.random.fold_in(key, 99), 3)
-    bias = jax.random.uniform(k_bias, (), minval=-14.0, maxval=14.0)
-    frame0 = frame0 + 2.5 * jax.random.normal(k_noise0, frame0.shape)
-    frame1 = frame1 * gain + bias + 2.5 * jax.random.normal(k_noise1, frame1.shape)
+    k_noise0, k_noise1, k_bias, k_cg = jax.random.split(
+        jax.random.fold_in(key, 99), 4
+    )
+    # Per-channel gain (white-balance drift) on top of global gain/bias —
+    # the io/synthetic.py `photometric` eval clip jitters wider than this
+    # band, so it measures generalization of the learned invariance.
+    ch_gain = jnp.exp(0.08 * jax.random.normal(k_cg, (3,)))
+    bias = jax.random.uniform(k_bias, (), minval=-18.0, maxval=18.0)
+    frame0 = frame0 + 3.0 * jax.random.normal(k_noise0, frame0.shape)
+    frame1 = (
+        frame1 * (gain * ch_gain) + bias + 3.0 * jax.random.normal(k_noise1, frame1.shape)
+    )
 
     return SceneBatch(
         frame0=jnp.clip(frame0, 0.0, 255.0),

@@ -211,6 +211,41 @@ def test_global_redetection_recovers_teleport():
     assert err_on[t_show + 4 :].mean() < 15.0, err_on[t_show + 4 :]
 
 
+def test_relative_lost_gate():
+    """filter.lost_conf_ratio: the feature-agnostic lost gate (confidence
+    vs its running locked-state EMA) must trip on disappearance and clear
+    on reappearance WITHOUT any absolute cosine threshold — absolute
+    thresholds are feature-distribution dependent (0.6 tuned on random
+    init sits exactly at trained features' locked confidence and mis-fires;
+    flagship occlusion traces, round 2). Blanked frames guarantee the
+    confidence dip at the tiny test geometry, where max-cosine against a
+    textured background otherwise stays high for any template."""
+    cfg = Config.from_dict({
+        "model": {"variant": "vit-t16", "image_size": 64,
+                  "dtype": "float32", "use_flash_attention": False},
+        # 0.4: the tiny geometry's locked confidence decays ~0.85 -> 0.5
+        # (weak vit-t16/64px features) while the EMA baseline lags at
+        # ~0.73, so re-lock must clear 0.4 x baseline. Flagship locked
+        # confidence is stable; 0.5-0.6 is the production ratio there.
+        "filter": {"num_particles": 256, "lost_conf_ratio": 0.4},
+        "tracker": {"mode": "dense"},
+    })
+    src = open_source("synthetic:moving-square", 20, (192, 192))
+    frames = list(src)
+    for t in range(8, 12):  # total dropout: flat gray frames
+        frames[t] = np.full_like(frames[t], 120)
+    tr = Tracker(cfg)
+    tr.init(frames[0], src.init_bbox)
+    recs = [tr.step(f) for f in frames[1:]]
+    lost = np.array([r["lost"] for r in recs])  # recs[i] <- frames[i+1]
+    assert not lost[:6].any(), lost  # locked while the target is visible
+    assert lost[8:11].all(), lost  # trips on the blank frames
+    # Re-arms after reappearance: the unboosted probe restores the
+    # confidence scale the frozen baseline was set at (a boosted-window
+    # confidence would self-lock the lost state).
+    assert not lost[-4:].all(), lost
+
+
 def test_banked_multitracker():
     from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
 

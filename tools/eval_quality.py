@@ -55,19 +55,21 @@ GEOMETRIES = {
 }
 
 CLIP_OVERRIDES = {
-    # Occlusion gets the full robustness stack: lost gating (freezes the
-    # template + window during the sweep) AND global re-detection, so a
-    # swept-away lock recovers even when the target re-emerges outside the
-    # frozen window (trained-weights seed-1 previously never re-acquired).
+    # Occlusion gets the full robustness stack: the RELATIVE lost gate
+    # (conf vs its locked-state EMA — transfers across weight sets where
+    # the absolute 0.6 threshold sat exactly at trained features' locked
+    # confidence and mis-fired) AND global re-detection, so a swept-away
+    # lock recovers even when the target re-emerges outside the frozen
+    # window.
     "occlusion": {
-        "filter.lost_conf_threshold": "0.6",
+        "filter.lost_conf_ratio": "0.55",
         "tracker.redetect_global_after": "4",
         "tracker.redetect_accept_conf": "0.25",
         "tracker.redetect_accept_z": "3.0",
     },
     "surveillance": {"filter.motion.sigma_pos": "4.0"},
     "teleport": {
-        "filter.lost_conf_threshold": "0.6",
+        "filter.lost_conf_ratio": "0.55",
         "tracker.redetect_global_after": "3",
         "tracker.redetect_accept_conf": "0.25",
         "tracker.redetect_accept_z": "3.0",

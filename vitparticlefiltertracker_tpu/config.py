@@ -101,6 +101,13 @@ class FilterConfig:
     init_sigma_vel: float = 1.0
     seed: int = 0
     lost_conf_threshold: float = 0.0  # mean-top-likelihood below => "lost"
+    # Feature-agnostic lost gate: lost when conf drops below this fraction
+    # of its running locked-state EMA. Absolute cosine thresholds are
+    # feature-distribution dependent (trained features shift the whole
+    # cosine distribution, so a threshold tuned on random init mis-fires);
+    # the ratio transfers across weight sets. 0 disables. Composes with
+    # lost_conf_threshold (either trips the flag).
+    lost_conf_ratio: float = 0.0
 
     def resolve(self) -> "FilterConfig":
         if self.num_particles <= 0:

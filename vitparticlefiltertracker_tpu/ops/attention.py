@@ -121,6 +121,15 @@ def flash_attention(
     dtype = q.dtype
     scale = 1.0 / math.sqrt(d)
 
+    if t < 128:
+        # Below one MXU tile there is nothing to stream — the whole
+        # sequence is a single (padded) block and the online-softmax
+        # machinery is pure overhead (measured 100x slower than XLA at
+        # the 4-token crop shape, and the degenerate grid faulted the TPU
+        # worker). The gate never sends such shapes here; direct callers
+        # get the reference lowering.
+        return reference_attention(q, k, v, precision=precision)
+
     # Big blocks win at the global-encode shapes the gate dispatches here
     # (v5e sweep: 27 ms at 128x128 -> 2.6 ms at 1024x1024 for 1080p ViT-B;
     # 2048x2048 exceeds VMEM). Clamp to the padded sequence so small test
@@ -173,21 +182,23 @@ def flash_attention(
     return out.reshape(b, h, t_pad, d_pad)[:, :, :t, :d]
 
 
-# Measured crossover on v5e (2026-08, docs/bench_attention.jsonl, RTT-
-# netted looped timing): XLA's fused attention wins every tracking shape —
-# 196-token windows at any stream count (multistream-64: 0.28 ms vs flash
-# 1.49 ms) and 720p global encodes (1.6e8 logits: 0.68 vs 2.8 ms). The flip
-# is between 1.6e8 and 8e8 logits: at 1080p global encodes (8e8) XLA's
-# materialized [B, H, T, T] collapses (330 ms vs flash 13.4 ms — 25x), and
-# at 4K (1.3e10) XLA cannot run at all while the streamed kernel (VMEM
-# independent of T) does. Gate on the logits element count, the quantity
-# that actually explodes, at 4e8 — midway between the measured brackets.
+# Measured crossover on v5e (2026-08, docs/bench_attention.jsonl,
+# two-length-differencing timing — slope between an N- and 2N-iteration
+# scan, cancelling the rig's variable relay RTT): XLA's fused attention
+# wins the short-window tracking shapes (196 tokens at any stream count;
+# multistream-64 = 3e7 logits: 0.48 ms vs flash 1.32 ms), flash wins every
+# global-frame encode — 720p (1.6e8 logits): 0.78 vs 1.74 ms (2.2x);
+# 1080p (8e8): 3.1 vs 334 ms (106x); 4K (1.3e10): 48 ms where XLA's
+# materialized [B, H, T, T] cannot run at all (the streamed kernel's VMEM
+# use is independent of T). Gate on the logits element count, the
+# quantity that actually explodes, at 8e7 — the geometric midpoint of the
+# measured [3e7, 1.6e8] bracket.
 #
 # The gate sees EXECUTED logits: callers under vmap (banked / multistream
 # trackers — runtime/banked.py) pass their mapped bank/stream count as
 # `batch_hint`, since tracing shapes don't show the mapped axis.
 # Re-measure with tools/bench_attention.py.
-FLASH_MIN_LOGITS_ELEMS = 4e8
+FLASH_MIN_LOGITS_ELEMS = 8e7
 
 
 def multi_head_attention(

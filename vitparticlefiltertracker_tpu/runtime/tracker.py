@@ -75,6 +75,8 @@ class TrackerState(NamedTuple):
     conf: jax.Array  # [] f32 last appearance confidence (max cosine)
     lost: jax.Array  # [] bool target-lost flag (SURVEY.md §5.3)
     lost_count: jax.Array  # [] int32 consecutive lost frames (global re-detect)
+    conf_ema: jax.Array  # [] f32 locked-state confidence EMA (-1 = unseeded);
+    # baseline for the relative lost gate (filter.lost_conf_ratio)
 
 
 class TrackOutput(NamedTuple):
@@ -135,6 +137,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
     zscale = cfg.filter.likelihood_zscale
     use_znorm = cfg.filter.likelihood == "zcos"
     lost_thresh = cfg.filter.lost_conf_threshold
+    lost_ratio = cfg.filter.lost_conf_ratio
     t = cfg.tracker
     mode = t.mode
     s_img = cfg.model.image_size if mode == "dense" else t.crop_size
@@ -240,6 +243,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             conf=jnp.float32(1.0),
             lost=jnp.asarray(False),
             lost_count=jnp.int32(0),
+            conf_ema=jnp.float32(-1.0),  # adopt the first measured conf
         )
 
     # ---- step -------------------------------------------------------------
@@ -288,7 +292,41 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         # Confidence = best VALID cosine; out-of-window clamped-edge matches
         # must not fake a lock (all-out-of-window -> conf -1 -> lost).
         conf = jnp.max(jnp.where(in_win, cos, -1.0))
-        lost = conf < lost_thresh
+        # While lost the search window is boosted, which coarsens the
+        # dense-mode feature resolution and depresses EVERY cosine — gating
+        # re-lock on `conf` then self-locks the lost state (the level it
+        # must re-cross was set at unboosted scale). Probe the current
+        # estimate through an UNBOOSTED window instead: one extra encode,
+        # inside the lost-only cond branch. During occlusion the probe sees
+        # the occluder (stays lost); at reappearance it sees the target at
+        # locked-state scale (clears).
+        if mode == "dense":
+            def _probe(_):
+                side0 = _window_side(state.box_wh, state.prev_scale, t.search_scale)
+                pool_p = make_embedder(prm, frame_f32, est_xy, side0)
+                emb_p, ok_p = pool_p(
+                    est_xy[None], (state.box_wh * est_scale)[None]
+                )
+                _, cos_p = cosine_log_likelihood(emb_p, tmpl, 1.0)
+                return jnp.where(ok_p[0], cos_p[0], jnp.float32(-1.0))
+
+            conf_gate = jax.lax.cond(
+                state.lost, _probe, lambda _: conf, None
+            )
+        else:
+            conf_gate = conf  # crop mode embeds at native box scale already
+        lost = conf_gate < lost_thresh
+        # Relative gate (filter.lost_conf_ratio): compare against the
+        # running locked-state confidence EMA instead of an absolute
+        # cosine — transfers across feature sets (random vs trained shift
+        # the whole cosine distribution). The EMA only adapts while
+        # locked, so a slow occlusion can't drag the baseline down with it.
+        conf_base = jnp.where(state.conf_ema < 0.0, conf_gate, state.conf_ema)
+        if lost_ratio > 0.0:
+            lost = lost | (conf_gate < lost_ratio * conf_base)
+        conf_ema_new = jnp.where(
+            lost, conf_base, 0.9 * conf_base + 0.1 * conf_gate
+        )
 
         # Template EMA update at the estimated box (B8 robustness), gated on
         # confidence so occlusions don't poison the template.
@@ -434,15 +472,16 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             prev_scale=jnp.where(scale_frozen, state.prev_scale, est_scale),
             key=state.key,
             frame_idx=state.frame_idx + 1,
-            conf=conf,
+            conf=conf_gate,
             lost=lost,
             lost_count=lost_count,
+            conf_ema=conf_ema_new,
         )
         track_out = TrackOutput(
             position=est_xy,
             box=state.box_wh * est_scale,
             velocity=est[2:4],
-            conf=conf,
+            conf=conf_gate,
             ess=out.ess,
             resampled=out.resampled,
             lost=lost,
@@ -539,6 +578,9 @@ def _state_from_named(flat: dict, path: str) -> TrackerState:
         # Added after v1 shipped: files without it resume with a fresh count
         # (shape-matched to frame_idx so banked states keep their bank axis).
         lost_count=get("lost_count", np.zeros_like(flat["frame_idx"], np.int32)),
+        # Added with filter.lost_conf_ratio: older files re-adopt the first
+        # measured confidence (-1 sentinel), matching a fresh init.
+        conf_ema=get("conf_ema", np.full_like(np.asarray(flat["conf"], np.float32), -1.0)),
     )
 
 

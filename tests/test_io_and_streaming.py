@@ -41,7 +41,7 @@ def test_committed_configs_load(path):
 
 @pytest.mark.parametrize(
     "name", ["moving-square", "occlusion", "needle", "surveillance",
-             "teleport", "photometric"]
+             "teleport", "photometric", "rotation"]
 )
 def test_synthetic_sources(name):
     src = open_source(f"synthetic:{name}", num_frames=6, frame_size=(120, 160))

@@ -160,6 +160,10 @@ def render_md(primary_backend: str) -> None:
         f.write(
             "\nTargets (BASELINE.md): >=60 fps/chip at ViT-B/16 + 1k "
             "particles (eval 2 config), p50 < 16 ms.\n\n"
+            "`p50_device_ms` is independently witnessed by hardware "
+            "counters: `docs/PROFILE.md` (tools/profile_step.py) reads the "
+            "per-step device execution span off the jax.profiler XPlane "
+            "dump.\n\n"
             "Eval 5's device-staged row amortizes the relay RTT over only 4 "
             "staged 4K frames (staging more is transport-prohibitive here); "
             "see p50_device_ms for the on-chip step rate.\n"

@@ -67,6 +67,11 @@ def make_clip(
                         bias, heavy sensor noise): the appearance-invariance
                         stressor (README.md:3 "dynamic environments") where
                         learned features must beat raw random projections.
+      rotation        — orientation-bearing target (azimuthal spoke pattern)
+                        rotating in-plane ~3 deg/frame while translating:
+                        raw pixel correlation against a fixed template
+                        decays with angle; features trained with the
+                        rotation augmentation (training/data.py) must not.
     """
     rng = np.random.default_rng(seed)
     bg = _textured_background(rng, height, width)
@@ -86,16 +91,29 @@ def make_clip(
     yy, xx = np.mgrid[0:th, 0:tw]
     ry = (yy - (th - 1) / 2) / (th / 2)
     rx = (xx - (tw - 1) / 2) / (tw / 2)
-    r = np.sqrt(rx**2 + ry**2)
-    core = np.clip(1.0 - r, 0.0, 1.0)  # 1 at center -> 0 at edge
-    pattern = np.stack(
-        [
-            40 + 215 * core,  # bright warm core
-            30 + 120 * core * core,
-            200 * np.clip(r - 0.3, 0, 1),  # bluish rim
-        ],
-        axis=-1,
-    )
+
+    def _pattern(angle: float = 0.0) -> np.ndarray:
+        ca, sa = np.cos(angle), np.sin(angle)
+        qx, qy = ca * rx + sa * ry, -sa * rx + ca * ry
+        r = np.sqrt(qx**2 + qy**2)
+        core = np.clip(1.0 - r, 0.0, 1.0)  # 1 at center -> 0 at edge
+        if name == "rotation":
+            # Azimuthal spokes: the radial gradient alone is rotation-
+            # invariant, so a rotating clip must carry orientation. Clamped
+            # to 1 so the u8 clip below doesn't flatten the modulation.
+            core = np.clip(
+                core * (1.0 + 0.6 * np.cos(3.0 * np.arctan2(qy, qx))), 0.0, 1.0
+            )
+        return np.stack(
+            [
+                40 + 215 * core,  # bright warm core
+                30 + 120 * core * core,
+                200 * np.clip(r - 0.3, 0, 1),  # bluish rim
+            ],
+            axis=-1,
+        )
+
+    pattern = _pattern()
 
     margin = max(tw, th)
     cx0, cy0 = width * 0.35, height * 0.4
@@ -120,6 +138,11 @@ def make_clip(
         f = bg.copy()
         # mild background flicker / sensor noise
         f += rng.normal(0, 2.0, size=f.shape)
+        if name == "rotation":
+            # 8 deg/frame: too fast for template-EMA drift absorption
+            # (which tracks ~3 deg/frame), well inside the trainer's
+            # +/-26 deg/pair augmentation band.
+            pattern = _pattern(np.deg2rad(8.0) * t)
         if visible:
             _draw_target(f, cx, cy, tw, th, pattern)
         if name == "occlusion" and num_frames // 3 <= t < num_frames // 3 + max(5, num_frames // 6):

@@ -47,15 +47,28 @@ def _paint_blob(
     colors: jax.Array,  # [3, 3] rows: core / rim / base per-channel weights
     gain: jax.Array,  # [] intensity gain
     enable: jax.Array,  # [] 0/1 (so vmapped samples can omit the blob)
+    angle: jax.Array | float = 0.0,  # [] in-plane rotation (radians)
+    spokes: jax.Array | float = 0.0,  # [] azimuthal harmonic amplitude
 ) -> jax.Array:
-    """Composite a soft-edged textured rectangle (radial core + rim)."""
+    """Composite a soft-edged textured rectangle (radial core + rim, plus
+    an optional azimuthal 'spoke' harmonic). The radial components alone
+    are rotation-INVARIANT by construction; spokes give the pattern an
+    orientation, which is what makes the rotation augmentation (and the
+    io/synthetic.py `rotation` eval clip) actually change appearance."""
     s = frame.shape[0]
     yy, xx = jnp.mgrid[0:s, 0:s].astype(jnp.float32)
-    rx = (xx - p[0]) / (wh[0] / 2.0)
-    ry = (yy - p[1]) / (wh[1] / 2.0)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    ux = (xx - p[0])
+    uy = (yy - p[1])
+    # Rotate pattern AND silhouette: box-normalized coords of the rotated frame.
+    rx = (ca * ux + sa * uy) / (wh[0] / 2.0)
+    ry = (-sa * ux + ca * uy) / (wh[1] / 2.0)
     r = jnp.sqrt(rx * rx + ry * ry)
     core = jnp.clip(1.0 - r, 0.0, 1.0)
     rim = jnp.clip(r - 0.3, 0.0, 1.0)
+    phi = jnp.arctan2(ry, rx)
+    # Clamped so the final 0..255 clip doesn't flatten the modulation.
+    core = jnp.clip(core * (1.0 + spokes * jnp.cos(3.0 * phi)), 0.0, 1.0)
     # Soft ~1px box edge: alpha ramps with px distance to the box border.
     dist_px = jnp.minimum(
         (1.0 - jnp.abs(rx)) * (wh[0] / 2.0), (1.0 - jnp.abs(ry)) * (wh[1] / 2.0)
@@ -98,18 +111,35 @@ def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
     d_wh = wh * jnp.exp(0.2 * jax.random.normal(ks[10], (2,)))
     d_drift = 3.0 * jax.random.normal(ks[11], (2,))
 
-    def compose(bg_img, tp, dp, tgain):
-        f = _paint_blob(bg_img, dp, d_wh, colors_d, 1.0, d_on)
-        return _paint_blob(f, tp, wh, colors_t, tgain, jnp.float32(1.0))
+    # --- orientation: spoke texture + in-plane rotation between frames ----
+    # Half the samples carry an azimuthal harmonic (orientation-bearing
+    # pattern) at a random base angle; the template->search rotation delta
+    # is kept MILD (+/-8.6 deg — one frame of the `rotation` eval clip).
+    # A +/-26 deg band was tried and REVERTED: it cut ranking accuracy
+    # 0.94 -> 0.75, inflated background cosines enough that global
+    # re-detection false-locked (teleport seed-0 tail), and bought nothing
+    # on the rotation eval — the tracker's template EMA absorbs slow
+    # rotation; features only need the inter-frame delta.
+    k_sp, k_a0, k_da = jax.random.split(jax.random.fold_in(key, 77), 3)
+    spoke_amp = jnp.where(jax.random.uniform(k_sp, ()) < 0.5, 0.6, 0.0)
+    ang0 = jax.random.uniform(k_a0, (), minval=0.0, maxval=2.0 * jnp.pi)
+    d_ang = jax.random.uniform(k_da, (), minval=-0.15, maxval=0.15)
 
-    frame0 = compose(bg, p0, d_pos, jnp.float32(1.0))
+    def compose(bg_img, tp, dp, tgain, ang):
+        f = _paint_blob(bg_img, dp, d_wh, colors_d, 1.0, d_on)
+        return _paint_blob(
+            f, tp, wh, colors_t, tgain, jnp.float32(1.0),
+            angle=ang, spokes=spoke_amp,
+        )
+
+    frame0 = compose(bg, p0, d_pos, jnp.float32(1.0), ang0)
 
     # --- frame1: camera shift + photometric jitter + partial occluder ------
     cam = 2.5 * jax.random.normal(ks[12], (2,))
     ctr = jnp.asarray([s / 2, s / 2]) + cam
     bg1 = extract_window_mxu(bg, ctr, jnp.float32(s), size)
     tgain1 = jnp.exp(0.12 * jax.random.normal(ks[13], ()))
-    frame1 = compose(bg1, p1, d_pos + d_drift, tgain1)
+    frame1 = compose(bg1, p1, d_pos + d_drift, tgain1, ang0 + d_ang)
 
     occ_on = (jax.random.uniform(ks[14], ()) < 0.25).astype(jnp.float32)
     occ_x = p1[0] + jax.random.uniform(ks[15], (), minval=-0.8, maxval=0.8) * tw

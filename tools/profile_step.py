@@ -99,29 +99,57 @@ def main() -> int:
     per_step_ms = float(np.median(module_ns)) / 1e6
     top = sorted(per_op.items(), key=lambda kv: -kv[1])[:12]
 
+    import json
+
+    runs_path = os.path.join(REPO, "docs", "profile_runs.jsonl")
+    rows = []
+    if os.path.exists(runs_path):
+        with open(runs_path) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    row = {
+        "config": args.config,
+        "steps": n,
+        "planes": planes,
+        "per_step_ms": round(per_step_ms, 2),
+        "top_ops": [
+            {"op": name, "ms": round(ns / 1e6, 2),
+             "share": round(ns / ops_total_ns, 3)}
+            for name, ns in top
+        ],
+    }
+    rows = [r for r in rows if r["config"] != args.config] + [row]
+    with open(runs_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
     md = os.path.join(REPO, "docs", "PROFILE.md")
     with open(md, "w") as f:
         f.write(
             "# Profiler evidence: on-device step time\n\n"
-            f"`python tools/profile_step.py --config {args.config}` — "
-            f"{n} jitted tracker steps traced with jax.profiler; the XPlane "
-            "dump is parsed in-process (jax.profiler.ProfileData) and the per-"
-            "step device execution span is read off the TPU plane's 'XLA "
-            "Modules' line (one event per executed module). This is the hardware-counter "
+            "`python tools/profile_step.py --config <cfg>` — jitted tracker "
+            "steps traced with jax.profiler; the XPlane dump is parsed "
+            "in-process (jax.profiler.ProfileData) and the per-step device "
+            "execution span is read off the TPU plane's 'XLA Modules' line "
+            "(one event per executed module). This is the hardware-counter "
             "witness for the bench's RTT-netted `p50_device_ms` "
-            "(runtime/benchmark.py): the two must agree.\n\n"
-            f"- device planes: {planes}\n"
-            f"- executed modules (steps) traced: {len(module_ns)}\n"
-            f"- median device execution span per step: **{per_step_ms:.2f} ms**\n\n"
-            "Top device op groups (sync-op line, total over the trace — "
-            "async DMA prefetch lines excluded as they overlap compute):\n\n"
-            "| op group | total ms | share of op time |\n|---|---|---|\n"
+            "(runtime/benchmark.py): the two must agree. Async-DMA lines "
+            "(weight prefetch under the scan-over-layers) overlap compute "
+            "and are excluded from op shares.\n\n"
         )
-        for name, ns in top:
+        for r in rows:
             f.write(
-                f"| `{name[:60]}` | {ns / 1e6:.2f} | "
-                f"{100 * ns / ops_total_ns:.1f}% |\n"
+                f"## `{r['config']}`\n\n"
+                f"- steps traced: {r['steps']} on {r['planes']}\n"
+                f"- median device execution span per step: "
+                f"**{r['per_step_ms']:.2f} ms**\n\n"
+                "| op group | total ms | share of op time |\n|---|---|---|\n"
             )
+            for t in r["top_ops"]:
+                f.write(
+                    f"| `{t['op'][:60]}` | {t['ms']:.2f} "
+                    f"| {100 * t['share']:.1f}% |\n"
+                )
+            f.write("\n")
     print(f"wrote {md}; device busy/step = {per_step_ms:.2f} ms over {n} steps")
     return 0
 

@@ -160,13 +160,47 @@ def load_or_init(checkpoint: str, spec: VitSpec, seed: int = 0):
     return init(jax.random.key(seed ^ 0x5EED), spec)
 
 
+def cast_for_inference(params, spec: VitSpec):
+    """Pre-cast the big matmul weights to the compute dtype ONCE.
+
+    The forward pass casts every weight with `.astype(spec.dtype)` at use
+    (models/vit.py) — correct for training (f32 masters), but at inference
+    it re-converts the full parameter set from HBM EVERY step: ~1.8 GB of
+    f32-read + bf16-write traffic per step for ViT-L, measured as ~20% of
+    device step time ('convert' row, docs/PROFILE.md). Storing the block
+    weights in the compute dtype makes those casts no-ops; values are
+    bit-identical (astype(bf16) of the stored f32 is the same number).
+    LN params stay f32 (used inside the f32-statistics layernorm) and
+    patch_embed stays f32 (the tracker folds pixel normalization into it
+    in f32 — runtime/tracker.py:_norm_folded_embed_weights)."""
+    dt = spec.dtype
+    if dt == jnp.float32:
+        return params
+
+    def cast(tree):
+        return jax.tree.map(lambda x: x.astype(dt), tree)
+
+    out = dict(params)
+    out["blocks"] = {
+        k: (dict(v) if isinstance(v, dict) else v)
+        for k, v in params["blocks"].items()
+    }
+    out["blocks"]["attn"] = cast(params["blocks"]["attn"])
+    out["blocks"]["mlp"] = cast(params["blocks"]["mlp"])
+    for k in ("cls_token", "pos_embed"):
+        if k in out and out[k] is not None:
+            out[k] = out[k].astype(dt)
+    return out
+
+
 def resolve_vit_params(cfg, vit_params=None):
     """Shared weight resolution for Tracker/MultiTracker/MultiStreamTracker:
     honor an explicit pytree, else load cfg.model.checkpoint or random-init,
-    with the crop-mode image-size override applied to the spec."""
-    if vit_params is not None:
-        return vit_params
+    with the crop-mode image-size override applied to the spec; block
+    weights pre-cast to the compute dtype (see cast_for_inference)."""
     spec = VitSpec.from_config(cfg.model)
     if cfg.tracker.mode == "crop":
         spec = spec._replace(image_size=cfg.tracker.crop_size)
-    return load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
+    if vit_params is None:
+        vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
+    return cast_for_inference(vit_params, spec)

@@ -300,7 +300,11 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         # inside the lost-only cond branch. During occlusion the probe sees
         # the occluder (stays lost); at reappearance it sees the target at
         # locked-state scale (clears).
-        if mode == "dense":
+        # Built only when lost detection is configured: under vmap (banked /
+        # multistream) lax.cond lowers to a select that executes BOTH
+        # branches every step — an unconditional second window encode that
+        # cost eval4 ~35% fps before this static gate.
+        if mode == "dense" and (lost_thresh > 0.0 or lost_ratio > 0.0):
             def _probe(_):
                 side0 = _window_side(state.box_wh, state.prev_scale, t.search_scale)
                 pool_p = make_embedder(prm, frame_f32, est_xy, side0)

@@ -116,3 +116,35 @@ def test_frame_to_window_roundtrip():
     # window_grid(i) at win coord should return the original frame coord
     back = center + side * ((win + 0.5) / 128.0 - 0.5)
     np.testing.assert_allclose(np.asarray(back), np.asarray(pts), rtol=1e-5)
+
+
+def test_roi_cells_cos_fused_matches_reference():
+    """roi_cells_cos_mxu == roi_cells_mxu -> center -> per-cell-normalized
+    mean cosine (the fused hot path must be a pure reordering of sums)."""
+    from vitparticlefiltertracker_tpu.ops.image import roi_cells_cos_mxu, roi_cells_mxu
+    from vitparticlefiltertracker_tpu.ops.likelihood import (
+        _cos_to_template,
+        center_embeddings,
+        l2_normalize,
+    )
+
+    key = jax.random.key(11)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    gh = gw = 14
+    d = 64
+    grid = 3
+    n = 37
+    feat = jax.random.normal(k1, (gh, gw, d), jnp.float32)
+    mean_emb = jnp.mean(feat.reshape(-1, d), axis=0)
+    tmpl = l2_normalize(jax.random.normal(k2, (grid * grid, d), jnp.float32))
+    # centers spanning interior AND clamped edges; varied sizes
+    centers = jax.random.uniform(k3, (n, 2), minval=-2.0, maxval=15.0)
+    sizes = jax.random.uniform(k4, (n, 2), minval=0.5, maxval=6.0)
+
+    for me in (mean_emb, None):
+        cells = roi_cells_mxu(feat, centers, sizes, grid).reshape(n, grid * grid, d)
+        if me is not None:
+            cells = center_embeddings(cells, me)
+        want = _cos_to_template(cells, tmpl)
+        got = roi_cells_cos_mxu(feat, me, tmpl, centers, sizes, grid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)

@@ -25,6 +25,7 @@ from vitparticlefiltertracker_tpu.ops.image import (
     IMAGENET_STD,
     extract_window_mxu,
     frame_to_window_coords,
+    roi_cells_cos_mxu,
     roi_cells_mxu,
     roi_pool_mxu,
 )
@@ -102,6 +103,12 @@ def make_dense_embedder(
     def pool(boxes_xy: jax.Array, boxes_wh: jax.Array):
         return pool_from_feat(feat, mean_emb, center, side, es, boxes_xy, boxes_wh)
 
+    def score(tmpl: jax.Array, boxes_xy: jax.Array, boxes_wh: jax.Array):
+        return score_from_feat(
+            feat, mean_emb, center, side, es, tmpl, boxes_xy, boxes_wh
+        )
+
+    pool.score = score  # the hot path scores WITHOUT materializing cells
     return pool
 
 
@@ -131,6 +138,39 @@ def pool_from_feat(
         emb = center_embeddings(emb, mean_emb)
     in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
     return emb, in_win
+
+
+def score_from_feat(
+    feat: jax.Array,  # [grid, grid, D] window token features
+    mean_emb: jax.Array,  # [D] window-mean embedding
+    center: jax.Array,  # [2] window center, frame px
+    side: jax.Array,  # [] window side, frame px
+    es: DenseEmbedSpec,
+    tmpl: jax.Array,  # [K*K, D] per-cell L2-normalized structured template
+    boxes_xy: jax.Array,  # [M, 2] box centers, frame px
+    boxes_wh: jax.Array,  # [M, 2] box sizes, frame px
+):
+    """Structured-template cosine scores for M boxes -> (cos [M], in_win [M]).
+
+    The particle-scoring hot path: numerically equivalent to
+    pool_from_feat + per-cell normalized cosine, but fused so the
+    [M, K, K, D] cell embeddings never reach HBM (ops/image.py:
+    roi_cells_cos_mxu). Requires es.appearance == 'cells'."""
+    assert es.appearance == "cells"
+    s_img, patch = es.s_img, es.patch
+    win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
+    gxy = (win_px - (patch - 1) / 2.0) / patch
+    gwh = boxes_wh / side * s_img / patch
+    cos = roi_cells_cos_mxu(
+        feat,
+        mean_emb if es.center_features else None,
+        tmpl,
+        gxy,
+        gwh,
+        es.roi_grid,
+    )
+    in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
+    return cos, in_win
 
 
 def tiled_window_embed(

@@ -172,6 +172,57 @@ def roi_cells_mxu(
     return jnp.einsum("njc,nkcd->nkjd", wx, a)  # [N, K(y), K(x), D]
 
 
+def roi_cells_cos_mxu(
+    feat: jax.Array,  # [Gh, Gw, D] window token features
+    mean_emb: jax.Array | None,  # [D] window-mean embedding (None = no centering)
+    tmpl: jax.Array,  # [K*K, D] per-cell L2-normalized template rows
+    centers: jax.Array,  # [N, 2] grid coords (x, y)
+    sizes: jax.Array,  # [N, 2] grid units (w, h)
+    grid: int,
+) -> jax.Array:
+    """Fused structured-template cosine scores -> [N] (mean per-cell cos).
+
+    Numerically equivalent (up to sum reordering) to
+        cells = roi_cells_mxu(feat, centers, sizes, K)        # [N, K, K, D]
+        cos   = mean_c  <l2_normalize(cells_c - mean_emb), tmpl_c>
+    but WITHOUT materializing the [N, K, K, D] cells: the cosine needs only
+    each cell's dot-with-template and L2 norm, and both are bilinear in the
+    hat weights, so D collapses into two small per-frame maps — the
+    template projection G = F'·tmplᵀ [P, C] and the token Gram H = F'·F'ᵀ
+    [P, P] (P = Gh·Gw tokens). Per-particle work then contracts [N, C, P]
+    weight rows against them. At eval-3 scale (4096 particles, ViT-L
+    D=1024) this replaces ~1.5 GB/step of HBM intermediates
+    ([N,K,Gw,D] + [N,K,K,D]) with ~160 MB — the pooling stage measured
+    ~2x the ViT forward itself before this (docs/profile_runs.jsonl).
+
+    Centering commutes into F' because every hat-weight row sums to 1
+    (partition of unity, including at clamped edges): the pooled cell of
+    (F - m) equals (pooled cell of F) - m.
+    """
+    gh, gw, d = feat.shape
+    n = centers.shape[0]
+    c = grid * grid
+    p = gh * gw
+    f = feat.astype(jnp.float32).reshape(p, d)
+    if mean_emb is not None:
+        f = f - mean_emb.astype(jnp.float32)[None, :]
+    g = f @ tmpl.astype(jnp.float32).reshape(c, d).T  # [P, C]
+    gram = f @ f.T  # [P, P]
+
+    t = (jnp.arange(grid, dtype=jnp.float32) + 0.5) / grid - 0.5
+    ys = centers[:, 1:2] + sizes[:, 1:2] * t[None, :]  # [N, K]
+    xs = centers[:, 0:1] + sizes[:, 0:1] * t[None, :]
+    wy = hat_weights(ys, gh)  # [N, K, Gh]
+    wx = hat_weights(xs, gw)  # [N, K, Gw]
+    w2 = jnp.einsum("nkr,njc->nkjrc", wy, wx).reshape(n, c, p)  # [N, C, P]
+    dot = jnp.einsum("ncp,pc->nc", w2, g)  # [N, C] cell·template
+    u = jnp.einsum("ncp,pq->ncq", w2, gram)  # [N, C, P]
+    nrm2 = jnp.einsum("ncp,ncp->nc", u, w2)  # [N, C] |cell|^2
+    # eps placement matches l2_normalize: v/(|v| + 1e-8).
+    cos_c = dot / (jnp.sqrt(jnp.maximum(nrm2, 0.0)) + 1e-8)
+    return jnp.mean(cos_c, axis=-1)
+
+
 def roi_pool_mxu(
     feat: jax.Array,  # [Gh, Gw, D]
     centers: jax.Array,  # [N, 2] grid coords (x, y)

@@ -73,6 +73,18 @@ def znormed_log_likelihood(
     the valid-set statistics); the caller down-weights them separately.
     """
     cos = _cos_to_template(embeddings, template)
+    return znormed_logits_from_cos(cos, temperature, eps, mask), cos
+
+
+def znormed_logits_from_cos(
+    cos: jax.Array,  # [N] precomputed cosine scores
+    temperature: float,
+    eps: float = 1e-6,
+    mask: jax.Array | None = None,
+) -> jax.Array:
+    """The z-normalization half of znormed_log_likelihood, for callers that
+    compute cosines without materializing embeddings (the fused
+    structured-template scorer, models/embedder.py:score_from_feat)."""
     if mask is None:
         mu = jnp.mean(cos)
         sd = jnp.std(cos)
@@ -83,7 +95,7 @@ def znormed_log_likelihood(
         var = jnp.sum(jnp.square(cos - mu) * m) / count
         sd = jnp.sqrt(var)
     z = (cos - mu) / (sd + eps)
-    return temperature * z, cos
+    return temperature * z
 
 
 def center_embeddings(

@@ -53,6 +53,7 @@ from vitparticlefiltertracker_tpu.ops.likelihood import (
     cosine_log_likelihood,
     l2_normalize,
     znormed_log_likelihood,
+    znormed_logits_from_cos,
 )
 from vitparticlefiltertracker_tpu.ops.patchify import gather_patchify
 from vitparticlefiltertracker_tpu.ops.patchify_pallas import (
@@ -261,7 +262,6 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         boxes_xy = particles[:, 0:2]
         boxes_wh = state.box_wh[None, :] * jnp.exp(particles[:, 4:5])
         pool = make_embedder(prm, frame_f32, state.center, side)
-        emb, in_win = pool(boxes_xy, boxes_wh)
         # Matching template: adaptive EMA blended with the immutable anchor
         # (bounds template drift; see config tracker.template_anchor_mix).
         if anchor_mix > 0.0 and ema > 0.0:
@@ -270,13 +270,25 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             )
         else:
             tmpl = state.template
-        if use_znorm:
-            # Masked stats: out-of-window particles' clamped-edge cosines
-            # must not skew mu/sd (they do exactly when it matters most —
-            # lost/re-detect with boosted noise).
-            loglik, cos = znormed_log_likelihood(emb, tmpl, zscale, mask=in_win)
+        if mode == "dense" and t.appearance == "cells":
+            # Fused particle scoring: cosines straight from the token grid
+            # without materializing [N, K, K, D] cell embeddings (the
+            # pooling stage previously out-weighed the ViT forward at high
+            # particle counts — models/embedder.py:score_from_feat).
+            cos, in_win = pool.score(tmpl, boxes_xy, boxes_wh)
+            if use_znorm:
+                # Masked stats: out-of-window particles' clamped-edge
+                # cosines must not skew mu/sd (they do exactly when it
+                # matters most — lost/re-detect with boosted noise).
+                loglik = znormed_logits_from_cos(cos, zscale, mask=in_win)
+            else:
+                loglik = temp * cos
         else:
-            loglik, cos = cosine_log_likelihood(emb, tmpl, temp)
+            emb, in_win = pool(boxes_xy, boxes_wh)
+            if use_znorm:
+                loglik, cos = znormed_log_likelihood(emb, tmpl, zscale, mask=in_win)
+            else:
+                loglik, cos = cosine_log_likelihood(emb, tmpl, temp)
         loglik = jnp.where(in_win, loglik, loglik - 1e4)
 
         out = pf_update(particles, state.pf.log_weights, loglik, noise.resample_u, pfp)

@@ -48,6 +48,10 @@ class ModelConfig:
     drop_cls_token: bool = True  # dense tracking pools patch tokens; cls off
     ln_eps: float = 1e-6  # layernorm epsilon; HF ViT checkpoints use 1e-12
     # (tools/import_vit.py prints the value to set alongside checkpoint)
+    # Layer-loop lowering: 0 = full unroll (fastest on-chip, ~30% quicker
+    # window encode; compile traces every layer), 1 = lax.scan (cheapest
+    # compile), k>1 = scan with unroll=k (measured slower than both).
+    scan_unroll: int = 0
 
     def resolve(self) -> "ModelConfig":
         if self.variant != "custom":

@@ -52,6 +52,12 @@ class VitSpec(NamedTuple):
     # (ops/attention.py:multi_head_attention). runtime/banked.py sets this
     # to its bank/stream count.
     attn_batch_hint: int = 1
+    # Layer-loop lowering: 0 = FULL unroll (fastest on-chip: XLA schedules
+    # all layers globally — measured 0.32 vs 0.45 ms for a batch-1 ViT-B
+    # window encode; partial unrolls 2-6 are SLOWER than scan, the scan's
+    # per-layer weight-DMA pipeline beats half-measures), 1 = lax.scan
+    # (cheapest compile: traces one block), k>1 = scan with unroll=k.
+    scan_unroll: int = 0
 
     @property
     def grid(self) -> int:
@@ -80,6 +86,7 @@ class VitSpec(NamedTuple):
             use_flash_attention=m.use_flash_attention,
             use_cls_token=(m.pooling == "cls") or not m.drop_cls_token,
             ln_eps=m.ln_eps,
+            scan_unroll=m.scan_unroll,
         )
 
 
@@ -231,7 +238,8 @@ def encode_tokens(params: dict, x: jax.Array, spec: VitSpec) -> jax.Array:
     def body(carry, bp):
         return _block(carry, bp, spec), None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    unroll = spec.depth if spec.scan_unroll == 0 else spec.scan_unroll
+    x, _ = jax.lax.scan(body, x, params["blocks"], unroll=unroll)
     return _layer_norm(x, params["ln_final"], dtype, spec.ln_eps)
 
 

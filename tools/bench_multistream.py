@@ -73,10 +73,23 @@ def main() -> int:
         print(f"K={k:3d}: {agg:8.1f} fps aggregate ({per:7.1f} per stream)",
               file=sys.stderr, flush=True)
 
-    with open(os.path.join(REPO, "docs", "bench_multistream.jsonl"), "w") as f:
-        for r in rows:
+    # Merge by K (last wins) so partial runs (--ks 32 64) extend the curve
+    # instead of truncating it.
+    path = os.path.join(REPO, "docs", "bench_multistream.jsonl")
+    old = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for ln in f:
+                if ln.strip():
+                    r = json.loads(ln)
+                    old[r["k"]] = r
+    for r in rows:
+        old[r["k"]] = r
+    merged = [old[k] for k in sorted(old)]
+    with open(path, "w") as f:
+        for r in merged:
             f.write(json.dumps(r) + "\n")
-    print(json.dumps(rows))
+    print(json.dumps(merged))
     return 0
 
 

@@ -105,7 +105,10 @@ def main() -> int:
         for r in results:
             f.write(json.dumps(r) + "\n")
 
-    render_md(backend)
+    # The rendered table is ALWAYS anchored on the TPU sweep; CPU runs
+    # only refresh the backend-pinned extra rows (a cpu-primary render once
+    # wiped the TPU table and attached its notes to the wrong rows).
+    render_md("tpu")
     print(f"wrote BENCH_RESULTS.md and {jsonl}")
     return 0
 

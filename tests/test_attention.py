@@ -21,7 +21,11 @@ INTERPRET = jax.default_backend() != "tpu"
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
-@pytest.mark.parametrize("t,d", [(17, 32), (197, 64), (130, 32)])
+# All t >= 128: flash_attention routes t < 128 to the reference lowering
+# outright (one padded MXU tile — nothing to stream), so smaller cases
+# would compare the reference against itself. The fallback has its own
+# test below.
+@pytest.mark.parametrize("t,d", [(128, 32), (197, 64), (130, 32), (389, 64)])
 def test_flash_matches_reference_f32(t, d):
     key = jax.random.key(t * 100 + d)
     kq, kk, kv = jax.random.split(key, 3)
@@ -48,10 +52,12 @@ def test_flash_matches_reference_bf16():
 
 
 def test_flash_extreme_logits_stable():
-    """Online softmax must survive large logits (f32 exp overflow territory)."""
-    q = jnp.full((1, 1, 64, 32), 30.0, jnp.float32)
-    k = jnp.full((1, 1, 64, 32), 30.0, jnp.float32)
-    v = jax.random.normal(jax.random.key(1), (1, 1, 64, 32), jnp.float32)
+    """Online softmax must survive large logits (f32 exp overflow territory).
+    t = 256 so the PALLAS kernel runs (t < 128 short-circuits to the
+    reference path and would test nothing)."""
+    q = jnp.full((1, 1, 256, 32), 30.0, jnp.float32)
+    k = jnp.full((1, 1, 256, 32), 30.0, jnp.float32)
+    v = jax.random.normal(jax.random.key(1), (1, 1, 256, 32), jnp.float32)
     got = np.asarray(flash_attention(q, k, v, interpret=INTERPRET, precision=HIGHEST))
     assert np.all(np.isfinite(got))
     want = np.asarray(reference_attention(q, k, v, precision=HIGHEST))
@@ -73,6 +79,22 @@ def test_multi_kv_block_equivalence():
     np.testing.assert_allclose(
         np.asarray(multi), np.asarray(single), rtol=2e-5, atol=2e-5
     )
+
+
+def test_short_sequence_uses_reference_path():
+    """t < 128 must return the reference lowering (the
+    degenerate single-tile pallas grid once faulted the TPU worker)."""
+    key = jax.random.key(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 3, 17, 32), jnp.float32)
+    k = jax.random.normal(kk, (2, 3, 17, 32), jnp.float32)
+    v = jax.random.normal(kv, (2, 3, 17, 32), jnp.float32)
+    got = flash_attention(q, k, v, interpret=INTERPRET, precision=HIGHEST)
+    want = reference_attention(q, k, v, precision=HIGHEST)
+    # Same lowering either side of flash_attention's jit boundary — only
+    # fusion-order noise apart.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_dispatch_falls_back_off_tpu():

@@ -141,6 +141,11 @@ def run_single(cfg: Config, clip: str, seed: int, frames: int, frame_size, mp4: 
 
         _, t_show = teleport_times(frames)
         err = err[t_show + 3 :]
+        if err.size == 0:
+            raise SystemExit(
+                f"teleport scoring needs frames > {t_show + 4} (got {frames}):"
+                " the post-reappearance slice is empty and would record NaN"
+            )
     return err, np.asarray(outs.lost), float(np.hypot(src.init_bbox[2], src.init_bbox[3]))
 
 

@@ -68,7 +68,7 @@ def make_clip(
                         stressor (README.md:3 "dynamic environments") where
                         learned features must beat raw random projections.
       rotation        — orientation-bearing target (azimuthal spoke pattern)
-                        rotating in-plane ~3 deg/frame while translating:
+                        rotating in-plane 8 deg/frame while translating:
                         raw pixel correlation against a fixed template
                         decays with angle; features trained with the
                         rotation augmentation (training/data.py) must not.

@@ -129,6 +129,11 @@ def flash_attention(
         # worker). The gate never sends such shapes here; direct callers
         # get the reference lowering.
         return reference_attention(q, k, v, precision=precision)
+    if pltpu is None:
+        # The kernel's online-softmax accumulators live in TPU VMEM
+        # scratch; a JAX build without jax.experimental.pallas.tpu cannot
+        # allocate them (and has no TPU to run the kernel on anyway).
+        return reference_attention(q, k, v, precision=precision)
 
     # Big blocks win at the global-encode shapes the gate dispatches here
     # (v5e sweep: 27 ms at 128x128 -> 2.6 ms at 1024x1024 for 1080p ViT-B;
@@ -152,13 +157,11 @@ def flash_attention(
         _flash_kernel, kv_len=t, block_k=block_k, num_kb=num_kb,
         scale=scale, precision=precision,
     )
-    scratch = []
-    if pltpu is not None:
-        scratch = [
-            pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running max (lane-bcast)
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum (lane-bcast)
-        ]
+    scratch = [
+        pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
+        pltpu.VMEM((block_q, 128), jnp.float32),  # running max (lane-bcast)
+        pltpu.VMEM((block_q, 128), jnp.float32),  # running sum (lane-bcast)
+    ]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d_pad), dtype),
@@ -174,7 +177,7 @@ def flash_attention(
             pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")
             )
-            if pltpu is not None and not interpret
+            if not interpret
             else None
         ),
         interpret=interpret,

@@ -156,6 +156,8 @@ def train_features(cfg, log=None) -> dict:
     step_jit = jax.jit(step_fn, donate_argnums=(0, 1))
 
     params, opt_state = init_jit()
+    if tr.metrics_out:
+        os.makedirs(os.path.dirname(tr.metrics_out) or ".", exist_ok=True)
     metrics_f = open(tr.metrics_out, "w") if tr.metrics_out else None
     t0 = time.perf_counter()
     try:

@@ -9,7 +9,6 @@ serve (K videos batched on one chip), train (in-repo feature learning).
 from __future__ import annotations
 
 import argparse
-import itertools
 import sys
 import time
 
@@ -176,12 +175,10 @@ def cmd_serve(cfg: Config, quiet: bool = False) -> int:
     "stream" field; readback trails by a small window so the device
     pipeline never drains (same discipline as `stream`).
     """
-    import jax
-
     from vitparticlefiltertracker_tpu.io.sink import JsonlSink
     from vitparticlefiltertracker_tpu.io.video import open_source
     from vitparticlefiltertracker_tpu.runtime.banked import MultiStreamTracker
-    from vitparticlefiltertracker_tpu.runtime.streaming import FramePump
+    from vitparticlefiltertracker_tpu.runtime.streaming import FramePump, stream_track
 
     specs = [s.strip() for s in cfg.io.source.split(",") if s.strip()]
     if len(specs) == 1:
@@ -199,10 +196,6 @@ def cmd_serve(cfg: Config, quiet: bool = False) -> int:
     pumps = [
         iter(FramePump(s, depth=cfg.runtime.prefetch_frames)) for s in sources
     ]
-    first = [next(p) for p in pumps]
-    shapes = {f.shape for f in first}
-    if len(shapes) > 1:
-        raise ValueError(f"serve needs equal frame sizes across streams, got {shapes}")
     bboxes = np.stack(
         [
             np.asarray(
@@ -215,50 +208,48 @@ def cmd_serve(cfg: Config, quiet: bool = False) -> int:
         ]
     )
 
+    def lockstep():
+        """Stack the K pumps into one [K, H, W, 3] frame stream; stop at
+        the shortest stream. The whole serve pipeline then rides
+        stream_track's trailing-readback discipline — ONE implementation
+        of the submit/window/drain logic, not a serve-local copy."""
+        while True:
+            frames = [next(p, None) for p in pumps]
+            if any(f is None for f in frames):
+                return
+            shapes = {f.shape for f in frames}
+            if len(shapes) > 1:
+                raise ValueError(
+                    f"serve needs equal frame sizes across streams, got {shapes}"
+                )
+            yield np.stack(frames)
+
     ms = MultiStreamTracker(cfg, num_streams=k)
-    ms.init(np.stack(first), bboxes)
     sink = JsonlSink(cfg.io.output)
 
-    def emit(idx, out):
-        pos = np.asarray(out.position)
-        box = np.asarray(out.box)
-        conf = np.asarray(out.conf)
-        ess = np.asarray(out.ess)
-        lost = np.asarray(out.lost)
+    def on_record(rec):
+        # stream_track emits one record per frame-batch with K-vector
+        # fields; fan it out into one record per stream.
         for s in range(k):
             sink.write(
                 {
                     "stream": s,
-                    "frame": idx,
-                    "position": pos[s].tolist(),
-                    "box": box[s].tolist(),
-                    "conf": float(conf[s]),
-                    "ess": float(ess[s]),
-                    "lost": bool(lost[s]),
+                    "frame": rec["frame"],
+                    "position": rec["position"][s],
+                    "box": rec["box"][s],
+                    "conf": rec["conf"][s],
+                    "ess": rec["ess"][s],
+                    "lost": rec["lost"][s],
                 }
             )
 
-    pending: list[tuple[int, object]] = []
-    n = 0
-    t0 = time.perf_counter()
-    for i in itertools.count(1):
-        frames = [next(p, None) for p in pumps]
-        if any(f is None for f in frames):  # lockstep: stop at shortest stream
-            break
-        dev = jax.device_put(np.stack(frames))
-        out = ms.step_device(dev)
-        pending.append((i, out))
-        n += 1
-        if len(pending) > 4:
-            emit(*pending.pop(0))
-    for idx, out in pending:
-        emit(idx, out)
-    wall = time.perf_counter() - t0
+    stats = stream_track(ms, lockstep(), bboxes, on_record=on_record)
     sink.close()
-    if not quiet and n:
+    if not quiet and stats["frames"]:
         print(
-            f"served {k} streams x {n} frames in {wall:.2f}s "
-            f"({k * n / wall:.1f} fps aggregate, {n / wall:.1f} per stream)",
+            f"served {k} streams x {stats['frames']} frames in "
+            f"{stats['wall_s']:.2f}s ({k * stats['fps']:.1f} fps aggregate, "
+            f"{stats['fps']:.1f} per stream)",
             file=sys.stderr,
         )
     return 0

@@ -50,6 +50,8 @@ def main() -> int:
         "p99_ms": round(result["p99_ms"], 3),
         "rtt_ms": round(result["rtt_ms"], 3),
         "p50_device_ms": round(result["p50_device_ms"], 3),
+        "p50_device_source": result["p50_device_source"],
+        "latency_target_met": result["p50_device_ms"] < 16.0,
         "backend": result["config"]["backend"],
     }
     print(json.dumps(out))

@@ -461,3 +461,73 @@ def test_multistream_matches_independent_trackers():
             np.testing.assert_allclose(
                 pos[t_i, i], singles[i][t_i], atol=1e-2,
             )
+
+
+def test_lost_output_coasts_no_jumps():
+    """Lost-aware output (round-3): while the lost flag is up, the emitted
+    position coasts on last-locked position+velocity — it must not jump
+    more than a box size per frame (the posterior mean under boosted
+    exploration noise did: 49-70 px excursions, docs/QUALITY.md r2)."""
+    cfg = Config.from_dict({
+        "model": {"variant": "vit-t16", "image_size": 64,
+                  "dtype": "float32", "use_flash_attention": False},
+        "filter": {"num_particles": 256, "lost_conf_ratio": 0.4},
+        "tracker": {"mode": "dense"},
+    })
+    src = open_source("synthetic:moving-square", 20, (192, 192))
+    frames = list(src)
+    for t in range(8, 14):
+        frames[t] = np.full_like(frames[t], 120)
+    tr = Tracker(cfg)
+    tr.init(frames[0], src.init_bbox)
+    recs = [tr.step(f) for f in frames[1:]]
+    lost = np.array([r["lost"] for r in recs])
+    assert lost.any(), "fixture must trip the lost gate"
+    pos = np.array([r["position"] for r in recs])
+    box = np.max(np.array([r["box"] for r in recs]), axis=None)
+    deltas = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+    # Every frame-to-frame move while lost (and into the lost stretch)
+    # stays under one box size.
+    for i in range(len(deltas)):
+        if lost[i] or lost[i + 1]:
+            assert deltas[i] <= box + 1e-3, (i, deltas[i], box)
+
+
+def test_conf_ema_not_seeded_while_lost():
+    """A start-of-track occlusion must not seed the locked-confidence EMA:
+    the -1 sentinel persists until the first non-lost frame (ADVICE r2)."""
+    cfg = Config.from_dict({
+        "model": {"variant": "vit-t16", "image_size": 64,
+                  "dtype": "float32", "use_flash_attention": False},
+        "filter": {"num_particles": 128, "lost_conf_threshold": 0.35},
+        "tracker": {"mode": "dense"},
+    })
+    src = open_source("synthetic:moving-square", 8, (192, 192))
+    frames = list(src)
+    tr = Tracker(cfg)
+    tr.init(frames[0], src.init_bbox)
+    # Blank frames immediately after init: every step is lost.
+    blank = np.full_like(frames[0], 120)
+    for _ in range(3):
+        rec = tr.step(blank)
+        assert rec["lost"]
+        assert float(np.asarray(tr.state.conf_ema)) == -1.0
+    # First clean frame locks and adopts the measured confidence.
+    rec = tr.step(frames[1])
+    if not rec["lost"]:
+        assert float(np.asarray(tr.state.conf_ema)) > 0.0
+
+
+def test_donate_state_false_keeps_old_state_readable():
+    """runtime.donate_state=false must leave the previous step's state
+    buffers alive (the knob was a silent no-op before round 3)."""
+    cfg = tiny_cfg(runtime={"donate_state": False},
+                   io={"num_frames": 4, "frame_size": [128, 128]})
+    src = open_source(cfg.io.source, cfg.io.num_frames, tuple(cfg.io.frame_size))
+    frames = list(src)
+    tr = Tracker(cfg)
+    tr.init(frames[0], src.init_bbox)
+    old = tr.state
+    tr.step(frames[1])
+    # With donation this readback raises (buffer deleted); without, it works.
+    assert np.isfinite(np.asarray(old.pf.particles)).all()

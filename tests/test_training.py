@@ -145,3 +145,18 @@ def test_train_features_end_to_end_checkpoint_tracks(tmp_path):
     tr.init(frames[0], src.init_bbox)
     recs = [tr.step(f) for f in frames[1:]]
     assert all(np.isfinite(r["position"]).all() for r in recs)
+
+
+def test_train_features_metrics_out_writes_jsonl(tmp_path):
+    """Regression: metrics_out crashed with UnboundLocalError (os was only
+    imported locally under checkpoint_out — round-2 commit 3673a0f). Both
+    shipped train configs set metrics_out, so this path must run."""
+    import json
+
+    metrics = str(tmp_path / "sub" / "metrics.jsonl")
+    cfg = tiny_train_cfg(steps=4, log_every=2, metrics_out=metrics)
+    train_features(cfg, log=lambda s: None)
+    rows = [json.loads(l) for l in open(metrics)]
+    assert len(rows) == 2
+    assert all("loss" in r and np.isfinite(r["loss"]) for r in rows)
+    assert rows[-1]["step"] == 4

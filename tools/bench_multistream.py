@@ -68,13 +68,18 @@ def main() -> int:
         dt = time.perf_counter() - t0
         agg = args.reps * t_rot * k / dt
         per = agg / k
-        rows.append({"k": k, "fps_aggregate": round(agg, 1),
+        rows.append({"k": k, "model": cfg.model.variant,
+                     "particles": cfg.filter.num_particles,
+                     "fps_aggregate": round(agg, 1),
                      "fps_per_stream": round(per, 1)})
         print(f"K={k:3d}: {agg:8.1f} fps aggregate ({per:7.1f} per stream)",
               file=sys.stderr, flush=True)
 
-    # Merge by K (last wins) so partial runs (--ks 32 64) extend the curve
-    # instead of truncating it.
+    # Merge by (config, K) — last wins — so partial runs (--ks 32 64)
+    # extend the curve instead of truncating it, and rows measured under a
+    # DIFFERENT model/particle config can never splice into this curve and
+    # render as one dataset (old rows without config fields are dropped).
+    key = lambda r: (r.get("model"), r.get("particles"), r["k"])
     path = os.path.join(REPO, "docs", "bench_multistream.jsonl")
     old = {}
     if os.path.exists(path):
@@ -82,10 +87,11 @@ def main() -> int:
             for ln in f:
                 if ln.strip():
                     r = json.loads(ln)
-                    old[r["k"]] = r
+                    if "model" in r and "particles" in r:
+                        old[key(r)] = r
     for r in rows:
-        old[r["k"]] = r
-    merged = [old[k] for k in sorted(old)]
+        old[key(r)] = r
+    merged = [old[k] for k in sorted(old, key=lambda t: (str(t[0]), t[1] or 0, t[2]))]
     with open(path, "w") as f:
         for r in merged:
             f.write(json.dumps(r) + "\n")

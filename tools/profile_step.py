@@ -1,10 +1,10 @@
 #!/usr/bin/env python
 """Hardware-counter evidence for the on-device step latency (B14/§5.1).
 
-The bench reports `p50_device_ms` by subtracting the measured relay RTT
-from readback-bounded wall times (runtime/benchmark.py) — an inference.
-This tool produces the INDEPENDENT witness: it traces the jitted tracker
-step with jax.profiler, parses the XPlane dump in-process
+The bench's `p50_device_ms` is the XPlane-measured per-step device span
+(runtime/benchmark.py, via utils/profiling.profiled_step_device_ms). This
+tool is the standalone report with an op-level breakdown: it traces the
+jitted tracker step with jax.profiler, parses the XPlane dump in-process
 (jax.profiler.ProfileData), and reports device-plane busy time per step
 plus the top ops. docs/PROFILE.md is regenerated from the measurement.
 
@@ -14,7 +14,6 @@ Usage: python tools/profile_step.py [--config configs/eval2-tpu-occlusion.yaml]
 from __future__ import annotations
 
 import argparse
-import collections
 import glob
 import os
 import sys
@@ -67,32 +66,17 @@ def main() -> int:
     if not xplane:
         print(f"no xplane dump found under {tmp}", file=sys.stderr)
         return 1
-    pd = jax.profiler.ProfileData.from_file(xplane[-1])
 
-    # "XLA Modules": one event per executed module (= per tracker step) —
-    # the authoritative device execution span. "XLA Ops" carries the
-    # sync-op breakdown; "Async XLA Ops" (DMA prefetch, e.g. the
-    # scan-over-layers weight slices) OVERLAPS compute and must not be
-    # summed into busy time.
-    module_ns: list[float] = []
-    per_op: dict[str, float] = collections.defaultdict(float)
-    ops_total_ns = 0.0
-    planes = []
-    for plane in pd.planes:
-        name = plane.name
-        if not ("TPU" in name and "device" in name.lower()):
-            continue
-        planes.append(name)
-        for line in plane.lines:
-            if line.name == "XLA Modules":
-                module_ns.extend(ev.duration_ns for ev in line.events)
-            elif line.name == "XLA Ops":
-                for ev in line.events:
-                    op = ev.name.split(" = ")[0].lstrip("%")
-                    # collapse ssa suffixes: fusion.123 -> fusion
-                    op = op.rstrip("0123456789").rstrip(".")
-                    per_op[op] += ev.duration_ns
-                    ops_total_ns += ev.duration_ns
+    # Shared parser (utils/profiling.py): "XLA Modules" = one event per
+    # executed module (= per tracker step), the authoritative device span;
+    # "Async XLA Ops" (DMA prefetch under scan-over-layers) overlaps
+    # compute and is excluded from the op breakdown.
+    from vitparticlefiltertracker_tpu.utils.profiling import (
+        parse_xplane_device_spans,
+    )
+
+    module_ns, per_op, planes = parse_xplane_device_spans(xplane[-1])
+    ops_total_ns = sum(per_op.values())
     if not module_ns:
         print("no XLA Modules line found in device planes", file=sys.stderr)
         return 1
@@ -130,9 +114,9 @@ def main() -> int:
             "steps traced with jax.profiler; the XPlane dump is parsed "
             "in-process (jax.profiler.ProfileData) and the per-step device "
             "execution span is read off the TPU plane's 'XLA Modules' line "
-            "(one event per executed module). This is the hardware-counter "
-            "witness for the bench's RTT-netted `p50_device_ms` "
-            "(runtime/benchmark.py): the two must agree. Async-DMA lines "
+            "(one event per executed module). The bench's `p50_device_ms` "
+            "(runtime/benchmark.py) is measured the same way in-process; "
+            "this standalone report adds the op breakdown. Async-DMA lines "
             "(weight prefetch under the scan-over-layers) overlap compute "
             "and are excluded from op shares.\n\n"
         )

@@ -110,7 +110,11 @@ class FilterConfig:
     # feature-distribution dependent (trained features shift the whole
     # cosine distribution, so a threshold tuned on random init mis-fires);
     # the ratio transfers across weight sets. 0 disables. Composes with
-    # lost_conf_threshold (either trips the flag).
+    # lost_conf_threshold (either trips the flag). COST under vmap (banked /
+    # multistream trackers): enabling any lost gate builds the unboosted
+    # re-lock probe, whose lax.cond lowers to a select under vmap — the
+    # extra window encode is then paid EVERY step, not only while lost
+    # (measured ~35%% fps on eval4 in round 2; see runtime/tracker.py).
     lost_conf_ratio: float = 0.0
 
     def resolve(self) -> "FilterConfig":

@@ -17,12 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from vitparticlefiltertracker_tpu.models.vit import VitSpec, init_vit_params
+
+
 def ml_dtypes_name_to_dtype(name: str) -> np.dtype:
     import ml_dtypes
 
     return np.dtype(getattr(ml_dtypes, name))
-
-from vitparticlefiltertracker_tpu.models.vit import VitSpec, init_vit_params
 
 # Param-layout version, stored in checkpoints. v2: fused wqkv columns are
 # HEAD-MAJOR (h, 3, hd) — see models/vit.py:_block. v1 (q|k|v block-major)

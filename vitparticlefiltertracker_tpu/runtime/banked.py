@@ -101,9 +101,10 @@ class MultiStreamTracker:
 
         self.vit_params = jax.device_put(resolve_vit_params(cfg, vit_params))
         init_m, step_m, clip_m = build_multistream_fns(cfg, num_streams)
+        don = (1,) if cfg.runtime.donate_state else ()
         self._init_jit = jax.jit(init_m)
-        self._step_jit = jax.jit(step_m, donate_argnums=(1,))
-        self._clip_jit = jax.jit(clip_m, donate_argnums=(1,))
+        self._step_jit = jax.jit(step_m, donate_argnums=don)
+        self._clip_jit = jax.jit(clip_m, donate_argnums=don)
         self.state = None
 
     def init(self, frames: np.ndarray, bboxes, seeds=None) -> None:
@@ -164,9 +165,10 @@ class MultiTracker:
             self._clip_b = clip_b
         else:
             self.vit_params = jax.device_put(vit_params)
+            don = (1,) if cfg.runtime.donate_state else ()
             self._init_jit = jax.jit(init_b)
-            self._step_jit = jax.jit(step_b, donate_argnums=(1,))
-            self._clip_jit = jax.jit(clip_b, donate_argnums=(1,))
+            self._step_jit = jax.jit(step_b, donate_argnums=don)
+            self._clip_jit = jax.jit(clip_b, donate_argnums=don)
         self.state = None
 
     def init(self, frame: np.ndarray, bboxes) -> None:
@@ -181,17 +183,18 @@ class MultiTracker:
                 # so step N+1's in_shardings match and donation is in-place.
                 rep = replicated(self.mesh)
                 param_sh = self._param_sh
+                don = (1,) if self.cfg.runtime.donate_state else ()
                 self._step_jit = jax.jit(
                     self._step_b,
                     in_shardings=(param_sh, shardings, rep),
                     out_shardings=(shardings, None),
-                    donate_argnums=(1,),
+                    donate_argnums=don,
                 )
                 self._clip_jit = jax.jit(
                     self._clip_b,
                     in_shardings=(param_sh, shardings, rep),
                     out_shardings=(shardings, None),
-                    donate_argnums=(1,),
+                    donate_argnums=don,
                 )
         self.state = state
 

@@ -142,6 +142,39 @@ def run_benchmark(
         lat_ms.append((time.perf_counter() - t0) * 1e3)
     _log(f"latency sampled: p50={np.percentile(lat_ms, 50):.2f}ms", verbose)
 
+    # On-device step time, measured two independent ways (NEVER p50 - RTT:
+    # the relay RTT swings 27-200 ms, so subtraction produced degenerate
+    # 0.0 readings — round-2 verdict). Primary: trace a burst of steps and
+    # read the TPU plane's "XLA Modules" spans (hardware-counter truth).
+    from vitparticlefiltertracker_tpu.utils.profiling import (
+        profiled_step_device_ms,
+    )
+
+    def _profiled_burst(n: int = 24):
+        for i in range(n):
+            o = tracker.step_device(dev_frames[i % n_rot])
+        np.asarray(o.position)
+
+    dev_ms = profiled_step_device_ms(_profiled_burst)
+    dev_src = "xplane_modules"
+    if dev_ms is None:
+        # Fallback (CPU backend / profiler unavailable): two-length
+        # differencing — time a drain of N dispatched steps and of 2N;
+        # the slope cancels the constant transport/dispatch overhead.
+        def _drain(n: int) -> float:
+            t0 = time.perf_counter()
+            for i in range(n):
+                o = tracker.step_device(dev_frames[i % n_rot])
+            np.asarray(o.position)
+            return time.perf_counter() - t0
+
+        n_diff = max(8, latency_frames)
+        _drain(2)  # touch the path once more before timing
+        t_n, t_2n = _drain(n_diff), _drain(2 * n_diff)
+        dev_ms = max((t_2n - t_n) / n_diff * 1e3, 0.0)
+        dev_src = "two_length_differencing"
+    _log(f"device step span ~{dev_ms:.3f} ms ({dev_src})", verbose)
+
     # Host<->device round-trip cost of one readback (to decompose latency:
     # on-chip step time vs transport). One trivial jitted op + readback.
     bump = jax.jit(lambda x: x + 1)  # ONE executable, reused (no recompiles)
@@ -212,9 +245,13 @@ def run_benchmark(
         "p99_ms": float(np.percentile(lat, 99)),
         "mean_ms": float(lat.mean()),
         "rtt_ms": rtt_ms,
-        # Serving latency net of host<->device transport (what a co-located
-        # deployment would see): per-step latency minus the readback RTT.
-        "p50_device_ms": max(p50 - rtt_ms, 0.0),
+        # On-device per-step execution span, measured directly (XPlane "XLA
+        # Modules" hardware spans; wall-clock slope differencing on backends
+        # without a profiler plane). NOT p50 - RTT: on this rig's tunneled
+        # TPU that subtraction is degenerate (RTT floor > p50). This is the
+        # artifact for BASELINE.json:5's p50 < 16 ms claim.
+        "p50_device_ms": float(dev_ms),
+        "p50_device_source": dev_src,
         "frames_measured": int(measure_frames),
         # Efficiency accounting (offline fps basis): the algorithmic FLOP
         # count of a step — low MFU at batch-1 dense mode is the WIN (one

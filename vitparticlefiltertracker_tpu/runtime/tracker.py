@@ -78,6 +78,10 @@ class TrackerState(NamedTuple):
     lost_count: jax.Array  # [] int32 consecutive lost frames (global re-detect)
     conf_ema: jax.Array  # [] f32 locked-state confidence EMA (-1 = unseeded);
     # baseline for the relative lost gate (filter.lost_conf_ratio)
+    coast_xy: jax.Array  # [2] f32 last-locked position, advanced by coast_vel
+    # while lost — the OUTPUT trajectory coasts instead of chasing the
+    # boosted-noise posterior mean (the filter itself is untouched)
+    coast_vel: jax.Array  # [2] f32 last-locked velocity
 
 
 class TrackOutput(NamedTuple):
@@ -245,6 +249,8 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             lost=jnp.asarray(False),
             lost_count=jnp.int32(0),
             conf_ema=jnp.float32(-1.0),  # adopt the first measured conf
+            coast_xy=center,
+            coast_vel=jnp.zeros((2,), jnp.float32),
         )
 
     # ---- step -------------------------------------------------------------
@@ -337,11 +343,18 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         # cosine — transfers across feature sets (random vs trained shift
         # the whole cosine distribution). The EMA only adapts while
         # locked, so a slow occlusion can't drag the baseline down with it.
-        conf_base = jnp.where(state.conf_ema < 0.0, conf_gate, state.conf_ema)
+        unseeded = state.conf_ema < 0.0
+        conf_base = jnp.where(unseeded, conf_gate, state.conf_ema)
         if lost_ratio > 0.0:
             lost = lost | (conf_gate < lost_ratio * conf_base)
+        # Adopt the first NON-lost confidence as the baseline; while lost the
+        # EMA is frozen (and stays at the -1 sentinel if never yet locked),
+        # so a start-of-track occlusion can't seed a depressed baseline that
+        # would leave the relative gate under-sensitive forever after.
         conf_ema_new = jnp.where(
-            lost, conf_base, 0.9 * conf_base + 0.1 * conf_gate
+            lost,
+            jnp.where(unseeded, state.conf_ema, conf_base),
+            0.9 * conf_base + 0.1 * conf_gate,
         )
 
         # Template EMA update at the estimated box (B8 robustness), gated on
@@ -476,9 +489,34 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             # wrong, conf stays low and lost re-fires one frame later.
             scale_frozen = lost  # prev_scale: pre-reseed estimate is stale
             lost = lost & ~accept
+            accepted = accept
+            accept_xy = best_xy
         else:
             scale_frozen = lost
+            accepted = jnp.asarray(False)
+            accept_xy = est_xy
 
+        # Lost-aware output: while lost, the REPORTED trajectory coasts on
+        # the last-locked position advanced by the last-locked velocity
+        # (clamped to the frame), instead of the posterior mean — which
+        # chases the boosted exploration noise during occlusion. On a
+        # global re-detect accept the output snaps to the accepted match
+        # (the pre-reseed posterior mean is stale). Filter state (cloud,
+        # window center) is untouched; only the emitted record coasts.
+        frame_max = jnp.asarray(
+            [frame_u8.shape[1] - 1, frame_u8.shape[0] - 1], jnp.float32
+        )
+        est_vel = est[2:4]
+        est_out = jnp.where(accepted, accept_xy, est_xy)
+        coast_xy = jnp.where(
+            lost,
+            jnp.clip(state.coast_xy + state.coast_vel, 0.0, frame_max),
+            est_out,
+        )
+        coast_vel = jnp.where(
+            lost, state.coast_vel,
+            jnp.where(accepted, jnp.zeros_like(est_vel), est_vel),
+        )
         new_state = TrackerState(
             pf=new_pf,
             template=template,
@@ -492,11 +530,13 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             lost=lost,
             lost_count=lost_count,
             conf_ema=conf_ema_new,
+            coast_xy=coast_xy,
+            coast_vel=coast_vel,
         )
         track_out = TrackOutput(
-            position=est_xy,
-            box=state.box_wh * est_scale,
-            velocity=est[2:4],
+            position=jnp.where(lost, coast_xy, est_out),
+            box=state.box_wh * jnp.where(lost, state.prev_scale, est_scale),
+            velocity=coast_vel,
             conf=conf_gate,
             ess=out.ess,
             resampled=out.resampled,
@@ -597,6 +637,10 @@ def _state_from_named(flat: dict, path: str) -> TrackerState:
         # Added with filter.lost_conf_ratio: older files re-adopt the first
         # measured confidence (-1 sentinel), matching a fresh init.
         conf_ema=get("conf_ema", np.full_like(np.asarray(flat["conf"], np.float32), -1.0)),
+        # Added with lost-aware output coasting: older files resume coasting
+        # from the saved window center with zero velocity.
+        coast_xy=get("coast_xy", np.asarray(flat["center"], np.float32)),
+        coast_vel=get("coast_vel", np.zeros_like(np.asarray(flat["center"], np.float32))),
     )
 
 
@@ -642,9 +686,12 @@ class Tracker:
         # closure constants baked into the HLO (see build_tracker_fns).
         self.vit_params = jax.device_put(vit_params)
         fns = build_tracker_fns(cfg)
+        # runtime.donate_state=false keeps the previous TrackerState buffers
+        # alive after each step (debugging / state snapshots at a copy cost).
+        don = (1,) if cfg.runtime.donate_state else ()
         self._init_jit = jax.jit(fns.init)
-        self._step_jit = jax.jit(fns.step, donate_argnums=(1,))
-        self._clip_jit = jax.jit(fns.track_clip, donate_argnums=(1,))
+        self._step_jit = jax.jit(fns.step, donate_argnums=don)
+        self._clip_jit = jax.jit(fns.track_clip, donate_argnums=don)
         self.state: TrackerState | None = None
 
     # -- lifecycle -----------------------------------------------------------

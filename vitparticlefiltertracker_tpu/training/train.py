@@ -13,6 +13,7 @@ Checkpoints are written with models/params.py (versioned format), so
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -179,8 +180,6 @@ def train_features(cfg, log=None) -> dict:
         if metrics_f:
             metrics_f.close()
     if tr.checkpoint_out:
-        import os
-
         os.makedirs(os.path.dirname(tr.checkpoint_out) or ".", exist_ok=True)
         to_save = jax.device_get(params)
         if tr.checkpoint_dtype == "bfloat16":

@@ -9,12 +9,26 @@ serve (K videos batched on one chip), train (in-repo feature learning).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
 from vitparticlefiltertracker_tpu.config import Config, load_config
+
+
+def _honor_jax_platforms_env() -> None:
+    """Make `JAX_PLATFORMS=cpu python main.py ...` actually run on CPU.
+
+    This image's tunneled-TPU plugin prepends itself to jax_platforms at
+    import, silently overriding the standard env var — the CLI re-applies
+    the user's explicit choice (tests/conftest.py does the same)."""
+    want = os.environ.get("JAX_PLATFORMS", "").strip()
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -266,6 +280,7 @@ def cmd_train(cfg: Config, quiet: bool = False) -> int:
 def main(argv=None) -> int:
     from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
 
+    _honor_jax_platforms_env()
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
     cfg = load(args)

@@ -1,0 +1,201 @@
+"""ROI-only H2D streaming (component B12, round-2 VERDICT missing #1).
+
+The 4K streaming pipeline must not ship the full frame per frame: the step
+only samples a search window. These tests pin (a) FrameView sampling
+equivalence, (b) step-level equivalence when the window lies inside the
+shipped ROI, (c) the end-to-end ROI pipeline tracking a clip, and (d)
+global re-detection through the decimated whole-frame view when the target
+escapes the ROI entirely.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.io.video import open_source
+from vitparticlefiltertracker_tpu.ops.image import (
+    FrameView,
+    StreamFrame,
+    extract_window_mxu,
+    full_view,
+    view_extract_window_mxu,
+)
+from vitparticlefiltertracker_tpu.runtime.streaming import RoiShipper, stream_track
+from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+
+
+def _cfg(**over):
+    d = {
+        "model": {
+            "variant": "vit-t16",
+            "image_size": 128,
+            "dtype": "float32",
+            "use_flash_attention": False,
+        },
+        "filter": {"num_particles": 256, "motion": {"sigma_pos": 3.0}},
+        "tracker": {"mode": "dense"},
+        "io": {
+            "source": "synthetic:moving-square",
+            "num_frames": 16,
+            "frame_size": [320, 320],
+        },
+    }
+    for k, v in over.items():
+        for kk, vv in v.items():
+            d.setdefault(k, {})[kk] = vv
+    return Config.from_dict(d)
+
+
+def test_view_extract_matches_full_frame():
+    """ROI-view sampling == full-frame sampling when the window fits."""
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.uniform(0, 255, (240, 320, 3)).astype(np.float32))
+    center = jnp.asarray([161.3, 119.7])
+    side = jnp.asarray(72.5)
+    ref = extract_window_mxu(frame, center, side, 64)
+    roi = FrameView(
+        pixels=frame[80:180, 100:240], origin=jnp.asarray([100.0, 80.0]), stride=1.0
+    )
+    got = view_extract_window_mxu(roi, center, side, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_view_extract_decimated():
+    """A stride-2 view samples the same scene at half resolution: values
+    must match a stride-2 full-frame reference exactly."""
+    rng = np.random.default_rng(1)
+    frame = jnp.asarray(rng.uniform(0, 255, (200, 200, 3)).astype(np.float32))
+    dec = frame[::2, ::2]
+    center = jnp.asarray([101.0, 99.0])
+    side = jnp.asarray(64.0)
+    got = view_extract_window_mxu(
+        FrameView(pixels=dec, origin=jnp.zeros(2), stride=2.0), center, side, 32
+    )
+    # Reference: identical sampling laid out in decimated coordinates.
+    ref = extract_window_mxu(dec, center / 2.0, side / 2.0, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_stream_frame_step_matches_full_frame():
+    """Feeding the jitted step a StreamFrame whose ROI covers the search
+    window produces the same trajectory as full frames (float-reassociation
+    tolerance; RNG draws and resample decisions are identical)."""
+    cfg = _cfg()
+    src = open_source(cfg.io.source, 12, (320, 320), seed=0)
+    frames = list(src)
+
+    tr_full = Tracker(cfg)
+    tr_full.init(frames[0], src.init_bbox)
+    full_recs = [tr_full.step(f) for f in frames[1:]]
+
+    tr_roi = Tracker(cfg)
+    tr_roi.init(frames[0], src.init_bbox)
+    roi_recs = []
+    span = 256
+    for f, ref in zip(frames[1:], full_recs):
+        # Center the ROI where the full-frame run says the target is: the
+        # equivalence claim is conditional on the window being inside.
+        cx, cy = ref["position"]
+        ox = int(np.clip(round(cx - span / 2), 0, f.shape[1] - span))
+        oy = int(np.clip(round(cy - span / 2), 0, f.shape[0] - span))
+        sf = StreamFrame(
+            track=FrameView(
+                pixels=jnp.asarray(f[oy : oy + span, ox : ox + span]),
+                origin=jnp.asarray([ox, oy], jnp.float32),
+                stride=1.0,
+            ),
+            glob=FrameView(
+                pixels=jnp.asarray(f[::4, ::4]),
+                origin=jnp.zeros(2, jnp.float32),
+                stride=4.0,
+            ),
+        )
+        out = tr_roi.step_device(sf)
+        roi_recs.append(np.asarray(out.position))
+    for got, ref in zip(roi_recs, full_recs):
+        np.testing.assert_allclose(got, ref["position"], atol=1.0)
+
+
+def test_stream_track_roi_e2e():
+    """The ROI pipeline (RoiShipper inside stream_track) tracks a clip with
+    the same accuracy as full-frame streaming, shipping a fraction of the
+    bytes."""
+    cfg = _cfg()
+    n = 24
+    src = open_source(cfg.io.source, n, (320, 320), seed=0)
+    truth = src.truth
+    tr = Tracker(cfg)
+    recs = []
+    stats = stream_track(
+        tr,
+        src,
+        src.init_bbox,
+        on_record=recs.append,
+        roi_px=224,
+        glob_stride=4,
+        glob_every=4,
+    )
+    assert stats["frames"] == n - 1
+    errs = [
+        np.hypot(r["position"][0] - truth[r["frame"]][0],
+                 r["position"][1] - truth[r["frame"]][1])
+        for r in recs
+    ]
+    rmse = float(np.sqrt(np.mean(np.square(errs))))
+    assert rmse < 10.0, f"RMSE {rmse}, errs {errs}"
+    ship = RoiShipper((320, 320), 224, (0, 0), glob_stride=4, glob_every=4)
+    assert ship.shipped_bytes_per_frame < 0.6 * 320 * 320 * 3
+
+
+def test_roi_shipper_edge_clamp():
+    """ROI stays inside the frame when the prediction sits at a corner."""
+    ship = RoiShipper((100, 160), 64, (2.0, 95.0))
+    frame = np.arange(100 * 160 * 3, dtype=np.uint8).reshape(100, 160, 3)
+    sf = ship.ship(frame)
+    assert sf.track.pixels.shape == (64, 64, 3)
+    ox, oy = np.asarray(sf.track.origin)
+    assert ox == 0.0 and oy == 36.0
+    np.testing.assert_array_equal(
+        np.asarray(sf.track.pixels), frame[36:100, 0:64]
+    )
+
+
+def test_roi_glob_redetect_recovers_teleport():
+    """A target that reappears OUTSIDE the shipped ROI is recovered through
+    the decimated whole-frame view's global re-detection scan."""
+    from vitparticlefiltertracker_tpu.io.synthetic import teleport_times
+
+    n = 40
+    cfg = Config.from_dict({
+        "model": {"variant": "vit-t16", "image_size": 64,
+                  "dtype": "float32", "use_flash_attention": False},
+        "filter": {"num_particles": 256, "lost_conf_threshold": 0.6},
+        "tracker": {"mode": "dense",
+                    "redetect_global_after": 3,
+                    "redetect_accept_conf": 0.3,
+                    "redetect_global_grid": 5},
+    })
+    src = open_source("synthetic:teleport", n, (192, 192))
+    truth = src.truth
+    tr = Tracker(cfg)
+    recs = []
+    stream_track(
+        tr,
+        src,
+        src.init_bbox,
+        on_record=recs.append,
+        roi_px=128,
+        glob_stride=2,
+        glob_every=2,
+        readback_window=2,
+    )
+    _, t_show = teleport_times(n)
+    errs = np.array([
+        np.hypot(r["position"][0] - truth[r["frame"]][0],
+                 r["position"][1] - truth[r["frame"]][1])
+        for r in recs
+    ])
+    frames_idx = np.array([r["frame"] for r in recs])
+    late = errs[frames_idx >= t_show + 6]
+    assert late.mean() < 20.0, (late, errs)

@@ -35,10 +35,31 @@ from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 # BASELINE eval 5 is ViT-L/16k particles/4K; smaller variants show the
-# pipeline at rates the relay can sustain for longer runs.
+# pipeline at rates the relay can sustain for longer runs. "-roi" variants
+# run the ROI-only H2D path (runtime/streaming.py RoiShipper, configured as
+# in configs/eval5-tpu-streaming-4k.yaml): per-frame traffic drops from the
+# full frame to roi² + glob/glob_every bytes.
+EVAL5_TRACKER = {  # matches configs/eval5-tpu-streaming-4k.yaml
+    "mode": "dense", "appearance": "pooled",
+    "redetect_global_after": 10, "redetect_global_grid": 5,
+    "redetect_accept_z": 3.0,
+}
 VARIANTS = {
     "eval5": {"model": "vit-l16", "particles": 16384, "frame": (2160, 3840), "frames": 8},
+    # The synthetic target scales with resolution (~308px box at 4K ->
+    # ~1230px search window), so the ROI is 1536px at stride 4 — the window
+    # resamples at ~5.5px spacing, so stride 4 is lossless in practice.
+    "eval5-roi": {
+        "model": "vit-l16", "particles": 16384, "frame": (2160, 3840),
+        "frames": 120, "roi": {"px": 1536, "stride": 4, "glob_stride": 8, "glob_every": 4},
+        "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
+    },
     "1080p": {"model": "vit-l16", "particles": 16384, "frame": (1080, 1920), "frames": 16},
+    "1080p-roi": {
+        "model": "vit-l16", "particles": 16384, "frame": (1080, 1920),
+        "frames": 120, "roi": {"px": 1024, "stride": 2, "glob_stride": 4, "glob_every": 4},
+        "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
+    },
     "720p": {"model": "vit-b16", "particles": 1024, "frame": (720, 1280), "frames": 24},
     "480p": {"model": "vit-b16", "particles": 1024, "frame": (480, 640), "frames": 48},
 }
@@ -78,8 +99,11 @@ def run_variant(name: str) -> dict:
                 "dtype": "bfloat16" if on_tpu else "float32",
                 "use_flash_attention": on_tpu,
             },
-            "filter": {"num_particles": v["particles"]},
-            "tracker": {"mode": "dense"},
+            "filter": {
+                "num_particles": v["particles"],
+                "lost_conf_ratio": v.get("lost_ratio", 0.0),
+            },
+            "tracker": v.get("tracker", {"mode": "dense"}),
             "io": {"frame_size": [h, w]},
         }
     )
@@ -95,19 +119,42 @@ def run_variant(name: str) -> dict:
         src = open_source("synthetic:moving-square", n_frames, (h, w))
         source_kind = "python-synthetic (fallback)"
 
+    from vitparticlefiltertracker_tpu.runtime.streaming import RoiShipper
+
+    roi = v.get("roi")
     tracker = Tracker(cfg)
     # Warm the step executable on a staged frame so compile time doesn't
     # pollute the pipeline measurement (the pipeline run is separate below).
     warm = np.zeros((h, w, 3), np.uint8)
     tracker.init(warm, np.asarray(src.init_bbox))
-    out = tracker.step_device(jax.device_put(warm))
+    if roi:
+        # Warm the ROI-shaped executable (its own compile: different input
+        # structure) with a throwaway shipper; stream_track re-inits below.
+        ship = RoiShipper((h, w), roi["px"], (w / 2, h / 2),
+                          roi_stride=roi["stride"],
+                          glob_stride=roi["glob_stride"],
+                          glob_every=roi["glob_every"])
+        warm_dev = ship.ship(warm)
+        shipped_mb = ship.shipped_bytes_per_frame / 1e6
+    else:
+        warm_dev = jax.device_put(warm)
+        shipped_mb = h * w * 3 / 1e6
+    out = tracker.step_device(warm_dev)
     np.asarray(out.position)
     t_dev0 = time.perf_counter()
-    out = tracker.step_device(jax.device_put(warm))
+    out = tracker.step_device(warm_dev)
     np.asarray(out.position)
     step_rtt_ms = (time.perf_counter() - t_dev0) * 1e3
 
-    stats = stream_track(tracker, src, np.asarray(src.init_bbox))
+    recs: list[dict] = []
+    stats = stream_track(
+        tracker, src, np.asarray(src.init_bbox),
+        on_record=recs.append if roi else None,
+        roi_px=roi["px"] if roi else 0,
+        roi_stride=roi["stride"] if roi else 1,
+        glob_stride=roi["glob_stride"] if roi else 8,
+        glob_every=roi["glob_every"] if roi else 4,
+    )
     row = {
         "variant": name,
         "model": v["model"],
@@ -125,8 +172,18 @@ def run_variant(name: str) -> dict:
         "warm_step_plus_rtt_ms": round(step_rtt_ms, 1),
         "h2d_MBps": round(measure_h2d((h, w, 3)), 1),
         "frame_MB": round(h * w * 3 / 1e6, 1),
+        "shipped_MB_per_frame": round(shipped_mb, 3),
         "backend": jax.default_backend(),
     }
+    if roi and recs and getattr(src, "truth", None) is not None:
+        truth = np.asarray(src.truth)
+        errs = [
+            float(np.hypot(r["position"][0] - truth[r["frame"]][0],
+                           r["position"][1] - truth[r["frame"]][1]))
+            for r in recs if r["frame"] < len(truth)
+        ]
+        row["track_rmse_px"] = round(float(np.sqrt(np.mean(np.square(errs)))), 1)
+        row["track_lost_frames"] = int(sum(bool(np.any(r["lost"])) for r in recs))
     print(json.dumps(row), flush=True)
     return row
 

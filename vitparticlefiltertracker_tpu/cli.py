@@ -164,9 +164,14 @@ def cmd_stream(cfg: Config, quiet: bool = False) -> int:
 
         tracker = Tracker(cfg)
     sink = JsonlSink(cfg.io.output)
+    rt = cfg.runtime
     stats = stream_track(
         tracker, source, init_bbox, on_record=sink.write,
-        pump_depth=cfg.runtime.prefetch_frames,
+        pump_depth=rt.prefetch_frames,
+        roi_px=rt.stream_roi if rt.banks == 1 else 0,
+        roi_stride=rt.stream_roi_stride,
+        glob_stride=rt.stream_glob_stride,
+        glob_every=rt.stream_glob_every,
     )
     sink.close()
     if not quiet:

@@ -244,6 +244,19 @@ class RuntimeConfig:
     mesh_model: int = 1  # tensor-parallel ViT axis (heads/MLP-hidden sharded)
     donate_state: bool = True
     prefetch_frames: int = 2  # double-buffered H2D pipeline depth
+    # ROI-only H2D for `vpt stream` (single-stream): ship a stream_roi px
+    # square crop around the predicted target per frame (at
+    # stream_roi_stride decimation) plus a stream_glob_stride-decimated
+    # whole frame every stream_glob_every frames, instead of the full frame
+    # — ~50x less host->device traffic at 4K (runtime/streaming.py
+    # RoiShipper). 0 = ship full frames. The crop must cover the search
+    # window (tracker.search_scale * sqrt(box area), plus the
+    # redetect_window_boost while lost) or tracking degrades to the
+    # lost/re-detect path.
+    stream_roi: int = 0
+    stream_roi_stride: int = 1
+    stream_glob_stride: int = 8
+    stream_glob_every: int = 4
     profile_dir: str = ""  # jax.profiler trace output ("" disables)
 
 

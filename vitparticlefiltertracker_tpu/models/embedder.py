@@ -23,13 +23,22 @@ from vitparticlefiltertracker_tpu.models.vit import VitSpec, vit_forward_tokens
 from vitparticlefiltertracker_tpu.ops.image import (
     IMAGENET_MEAN,
     IMAGENET_STD,
-    extract_window_mxu,
+    FrameView,
     frame_to_window_coords,
+    full_view,
     roi_cells_cos_mxu,
     roi_cells_mxu,
     roi_pool_mxu,
+    view_extract_window_mxu,
 )
+
+
 from vitparticlefiltertracker_tpu.ops.likelihood import center_embeddings
+
+
+def _as_view(frame) -> FrameView:
+    """Accept a raw [H, W, 3] float frame or a FrameView (ROI streaming)."""
+    return frame if isinstance(frame, FrameView) else full_view(frame)
 
 
 class DenseEmbedSpec(NamedTuple):
@@ -74,7 +83,7 @@ def normalize_window(window_raw: jax.Array) -> jax.Array:
 
 def make_dense_embedder(
     prm: dict,
-    frame_f32: jax.Array,  # [H, W, 3] float (0..255 scale)
+    frame_f32,  # [H, W, 3] float (0..255 scale) or FrameView (ROI stream)
     center: jax.Array,  # [2] (x, y) search-window center, frame px
     side: jax.Array,  # [] window side, frame px
     es: DenseEmbedSpec,
@@ -92,7 +101,9 @@ def make_dense_embedder(
     spec = es.vit
     s_img = es.s_img
     grid = s_img // es.patch
-    window = normalize_window(extract_window_mxu(frame_f32, center, side, s_img))
+    window = normalize_window(
+        view_extract_window_mxu(_as_view(frame_f32), center, side, s_img)
+    )
     feat = vit_forward_tokens(prm, window[None], spec)[0]
     feat = feat.reshape(grid, grid, spec.dim)
     # Window's shared-context component (see ops/likelihood.py:
@@ -175,7 +186,7 @@ def score_from_feat(
 
 def tiled_window_embed(
     prm: dict,
-    frame_f32: jax.Array,  # [H, W, 3]
+    frame_f32,  # [H, W, 3] float frame or FrameView (decimated re-detect)
     tile_ctrs: jax.Array,  # [G, 2] tile window centers, frame px
     tile_side: jax.Array,  # [] tile window side, frame px
     es: DenseEmbedSpec,
@@ -193,9 +204,10 @@ def tiled_window_embed(
     Returns (emb [G, C, ...], valid [G, C])."""
     spec = es.vit
     grid = es.s_img // es.patch
+    view = _as_view(frame_f32)
     windows = jax.vmap(
         lambda c: normalize_window(
-            extract_window_mxu(frame_f32, c, tile_side, es.s_img)
+            view_extract_window_mxu(view, c, tile_side, es.s_img)
         )
     )(tile_ctrs)
     feats = vit_forward_tokens(prm, windows, spec)  # [G, T, D]

@@ -9,6 +9,10 @@ decode/resize/normalize" feeding the ViT).
 
 from __future__ import annotations
 
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -86,6 +90,75 @@ def extract_window_mxu(
     a = a.reshape(out_size, w, c).transpose(0, 2, 1).reshape(out_size * c, w)
     b = a @ wx.T  # [out*C, out]
     return b.reshape(out_size, c, out_size).transpose(0, 2, 1)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("pixels", "origin"),
+    meta_fields=("stride",),
+)
+@dataclasses.dataclass(frozen=True)
+class FrameView:
+    """A (possibly cropped and decimated) view of a video frame.
+
+    All tracker math stays in FULL-FRAME pixel coordinates; only pixel
+    *sampling* maps through the view:  view_px = (frame_px - origin)/stride.
+    This is what makes ROI-only host->device shipping possible (component
+    B12 / BASELINE.json:11 4K streaming): the host crops a small region
+    around the predicted target and ships ~0.1-1%% of the 4K frame, while
+    the device step is numerically identical (up to float-addition
+    reordering, ~1 ulp) whenever the search window lies inside the view —
+    hat-weight resampling only reads sampled pixels.
+
+    pixels: [h, w, 3] uint8 or float (0..255 scale) — ROI or whole frame
+    origin: [2] f32 (x0, y0) frame coords of pixels[0, 0]'s center
+    stride: STATIC float — frame px per view px (pytree aux data, so jit
+        specializes per stride: full-frame and ROI paths compile separately
+        and a changing origin never recompiles)
+    """
+
+    pixels: jax.Array
+    origin: jax.Array
+    stride: float = 1.0
+
+
+class StreamFrame(NamedTuple):
+    """Per-frame device input of the ROI streaming path (component B12).
+
+    track: stride-1 (or lightly decimated) crop around the predicted target
+        — what the per-frame H2D actually ships (~0.5 MB at 4K instead of
+        the full 24.9 MB frame).
+    glob: decimated WHOLE frame (stride >> 1), refreshed every few frames
+        and re-used from device memory in between — feeds global
+        re-detection and defines the full-frame bounds, so a target that
+        escapes the ROI entirely is still recoverable.
+    """
+
+    track: FrameView
+    glob: FrameView
+
+
+def full_view(frame_f32: jax.Array) -> FrameView:
+    """The whole frame as a view (origin 0, stride 1 — folds to no-ops)."""
+    return FrameView(
+        pixels=frame_f32, origin=jnp.zeros((2,), jnp.float32), stride=1.0
+    )
+
+
+def view_extract_window_mxu(
+    view: FrameView, center: jax.Array, side: jax.Array, out_size: int
+) -> jax.Array:
+    """extract_window_mxu through a FrameView (frame-coord center/side).
+
+    Decimation (stride > 1) composes with the hat-weight resample: the
+    window grid is laid out in view pixels, so the two matmuls are
+    unchanged — only the sample coordinates shift/scale. Clamping happens
+    at the VIEW edge; the host-side cropper is responsible for margin.
+    """
+    inv = 1.0 / float(view.stride)
+    return extract_window_mxu(
+        view.pixels, (center - view.origin) * inv, side * inv, out_size
+    )
 
 
 def window_grid(center: jax.Array, side: jax.Array, out_size: int) -> tuple[jax.Array, jax.Array]:

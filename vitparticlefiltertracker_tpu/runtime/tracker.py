@@ -46,8 +46,11 @@ from vitparticlefiltertracker_tpu.models.vit import (
 from vitparticlefiltertracker_tpu.ops.image import (
     IMAGENET_MEAN,
     IMAGENET_STD,
-    extract_window_mxu,
+    FrameView,
+    StreamFrame,
     frame_to_window_coords,
+    full_view,
+    view_extract_window_mxu,
 )
 from vitparticlefiltertracker_tpu.ops.likelihood import (
     cosine_log_likelihood,
@@ -111,6 +114,33 @@ def _pf_params(cfg: Config) -> PFParams:
 
 def _window_side(box_wh: jax.Array, scale: jax.Array, search_scale: float) -> jax.Array:
     return search_scale * jnp.sqrt(box_wh[0] * box_wh[1]) * scale
+
+
+def _float_view(v: FrameView) -> FrameView:
+    return FrameView(v.pixels.astype(jnp.float32), v.origin, v.stride)
+
+
+def _frame_views(frame) -> tuple[FrameView, FrameView]:
+    """Normalize the step's frame input to (tracking view, global view).
+
+    Raw [H, W, 3] frames become a shared full view (origin 0, stride 1 —
+    folds to no-ops); a StreamFrame (ROI streaming, component B12) supplies
+    a stride-1 ROI for the tracking path and a decimated whole-frame view
+    for global re-detection / frame bounds.
+    """
+    if isinstance(frame, StreamFrame):
+        return _float_view(frame.track), _float_view(frame.glob)
+    v = full_view(frame.astype(jnp.float32))
+    return v, v
+
+
+def _frame_dims(gview: FrameView) -> tuple[int, int]:
+    """Static full-frame (h, w) px implied by the global view (exact for
+    stride-1; overestimates by < stride px for a decimated view)."""
+    return (
+        int(gview.pixels.shape[0] * gview.stride),
+        int(gview.pixels.shape[1] * gview.stride),
+    )
 
 
 class _Fns(NamedTuple):
@@ -186,14 +216,17 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             (prm["patch_embed"]["bias"] - bias_shift).astype(spec.dtype),
         )
 
-    def crop_embeddings(prm, frame_f32, center, side, boxes_xy, boxes_wh):
+    def crop_embeddings(prm, view: FrameView, center, side, boxes_xy, boxes_wh):
         """Fused gather+patchify -> one batched ViT encoder call."""
         kern, bias = _norm_folded_embed_weights(prm)
         if t.crop_impl == "frame":
+            # gather_patchify samples in the coordinates of its pixel
+            # buffer; map the frame-coord hypotheses through the view.
+            inv = 1.0 / float(view.stride)
             tokens = gather_patchify(
-                frame_f32,
-                boxes_xy,
-                boxes_wh,  # crop extent == hypothesis box
+                view.pixels,
+                (boxes_xy - view.origin) * inv,
+                boxes_wh * inv,  # crop extent == hypothesis box
                 t.crop_size,
                 patch,
                 kern,
@@ -205,7 +238,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             # resolution), then sample all particle crops from it. The Pallas
             # kernel fuses sampling + patchify + embed (ops/patchify_pallas.py).
             swin = t.window_size
-            window = extract_window_mxu(frame_f32, center, side, swin)
+            window = view_extract_window_mxu(view, center, side, swin)
             ctr_win = frame_to_window_coords(boxes_xy, center, side, swin)
             wh_win = boxes_wh * (swin / side)
             if t.crop_impl == "window-pallas" and jax.default_backend() == "tpu":
@@ -219,21 +252,21 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         feats = encode_tokens(prm, tokens, spec)
         return pool_tokens(feats, spec), jnp.ones(boxes_xy.shape[0], bool)
 
-    def make_embedder(prm, frame_f32, center, side):
+    def make_embedder(prm, view: FrameView, center, side):
         if mode == "dense":
-            return make_dense_embedder(prm, frame_f32, center, side, dense_es)
-        return lambda bxy, bwh: crop_embeddings(prm, frame_f32, center, side, bxy, bwh)
+            return make_dense_embedder(prm, view, center, side, dense_es)
+        return lambda bxy, bwh: crop_embeddings(prm, view, center, side, bxy, bwh)
 
     # ---- init -------------------------------------------------------------
     def init_fn(prm, frame_u8: jax.Array, bbox: jax.Array, seed: jax.Array) -> TrackerState:
         """bbox: [4] (x, y, w, h) frame px; seed: int32 scalar (traced, so the
         banked tracker can vmap over per-bank seeds). Template + cloud init."""
         key = jax.random.key(seed)
-        frame_f32 = frame_u8.astype(jnp.float32)
+        view = full_view(frame_u8.astype(jnp.float32))
         center = bbox[:2] + bbox[2:] / 2.0
         box_wh = bbox[2:]
         side = _window_side(box_wh, jnp.float32(1.0), t.search_scale)
-        emb, _ = make_embedder(prm, frame_f32, center, side)(center[None], box_wh[None])
+        emb, _ = make_embedder(prm, view, center, side)(center[None], box_wh[None])
         template = l2_normalize(emb[0].astype(jnp.float32))
         pf = init_state(jax.random.fold_in(key, 0xFFFFFFFF), center, n, pfp)
         return TrackerState(
@@ -254,8 +287,9 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         )
 
     # ---- step -------------------------------------------------------------
-    def step_fn(prm, state: TrackerState, frame_u8: jax.Array):
-        frame_f32 = frame_u8.astype(jnp.float32)
+    def step_fn(prm, state: TrackerState, frame):
+        """frame: raw [H, W, 3] array, or a StreamFrame (ROI streaming)."""
+        view, gview = _frame_views(frame)
         noise = draw_step_noise(jax.random.fold_in(state.key, state.frame_idx), n)
         # Re-detection (SURVEY.md §5.3): while lost, sweep a wider area —
         # inflate position diffusion and the search window until re-lock.
@@ -267,7 +301,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         side = side * jnp.where(state.lost, t.redetect_window_boost, 1.0)
         boxes_xy = particles[:, 0:2]
         boxes_wh = state.box_wh[None, :] * jnp.exp(particles[:, 4:5])
-        pool = make_embedder(prm, frame_f32, state.center, side)
+        pool = make_embedder(prm, view, state.center, side)
         # Matching template: adaptive EMA blended with the immutable anchor
         # (bounds template drift; see config tracker.template_anchor_mix).
         if anchor_mix > 0.0 and ema > 0.0:
@@ -325,7 +359,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         if mode == "dense" and (lost_thresh > 0.0 or lost_ratio > 0.0):
             def _probe(_):
                 side0 = _window_side(state.box_wh, state.prev_scale, t.search_scale)
-                pool_p = make_embedder(prm, frame_f32, est_xy, side0)
+                pool_p = make_embedder(prm, view, est_xy, side0)
                 emb_p, ok_p = pool_p(
                     est_xy[None], (state.box_wh * est_scale)[None]
                 )
@@ -390,7 +424,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         if n_after > 0:
             g = t.redetect_global_grid
             c_sub = 3  # candidate sub-grid per tile (dense tiled scan)
-            h_px, w_px = int(frame_u8.shape[0]), int(frame_u8.shape[1])
+            h_px, w_px = _frame_dims(gview)
             gxs = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (w_px / g)
             gys = (jnp.arange(g, dtype=jnp.float32) + 0.5) * (h_px / g)
             tile_ctrs = jnp.stack(
@@ -421,7 +455,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
                     )  # [C*C, 2]
                     cand = tile_ctrs[:, None, :] + offs[None, :, :]  # [G2, C2, 2]
                     emb_g, valid_g = tiled_window_embed(
-                        prm, frame_f32, tile_ctrs, tile_side, dense_es, cand, cand_wh
+                        prm, gview, tile_ctrs, tile_side, dense_es, cand, cand_wh
                     )
                     emb_g = emb_g.reshape(g * g * c_sub * c_sub, *emb_g.shape[2:])
                     valid_g = valid_g.reshape(-1)
@@ -429,7 +463,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
                 else:
                     # Crop mode embeds each candidate at native crop
                     # resolution already; a single flat grid suffices.
-                    pool_g = make_embedder(prm, frame_f32, frame_ctr, frame_side)
+                    pool_g = make_embedder(prm, gview, frame_ctr, frame_side)
                     cand_flat = tile_ctrs
                     emb_g, valid_g = pool_g(
                         cand_flat, jnp.broadcast_to(cand_wh, cand_flat.shape)
@@ -503,9 +537,8 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         # global re-detect accept the output snaps to the accepted match
         # (the pre-reseed posterior mean is stale). Filter state (cloud,
         # window center) is untouched; only the emitted record coasts.
-        frame_max = jnp.asarray(
-            [frame_u8.shape[1] - 1, frame_u8.shape[0] - 1], jnp.float32
-        )
+        fh, fw = _frame_dims(gview)
+        frame_max = jnp.asarray([fw - 1, fh - 1], jnp.float32)
         est_vel = est[2:4]
         est_out = jnp.where(accepted, accept_xy, est_xy)
         coast_xy = jnp.where(

@@ -1,0 +1,98 @@
+"""Config-driven mesh wiring (round-2 VERDICT #6): the CLI-instantiated
+trackers build their mesh from runtime.mesh_* themselves, and training goes
+data-parallel over all visible devices automatically."""
+
+import jax
+import numpy as np
+import pytest
+
+from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.io.video import open_source
+from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def _cfg(particles=64, **runtime):
+    return Config.from_dict({
+        "model": {"variant": "vit-t16", "image_size": 64,
+                  "dtype": "float32", "use_flash_attention": False},
+        "filter": {"num_particles": particles},
+        "io": {"source": "synthetic:moving-square", "frame_size": [224, 224]},
+        "runtime": runtime,
+    })
+
+
+@needs8
+def test_single_tracker_particle_sharded_matches_unsharded():
+    """`vpt track` with runtime.mesh_particles shards the single-object
+    filter's particle axis; trajectory must match the unsharded run."""
+    src = open_source("synthetic:moving-square", 6, (224, 224), seed=0)
+    frames = list(src)
+
+    def run(**runtime):
+        tr = Tracker(_cfg(**runtime))
+        if runtime:
+            assert tr.mesh is not None
+            assert tr.mesh.shape["particle"] == runtime["mesh_particles"]
+        tr.init(frames[0], src.init_bbox)
+        return np.asarray([tr.step(f)["position"] for f in frames[1:]])
+
+    a = run()
+    b = run(mesh_particles=8)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+@needs8
+def test_single_tracker_mesh_banks_rejected():
+    with pytest.raises(ValueError, match="mesh_banks"):
+        Tracker(_cfg(mesh_banks=2, mesh_particles=4))
+
+
+@needs8
+def test_multistream_sharded_matches_unsharded():
+    """`vpt serve` with runtime.mesh_*: streams ride the "bank" axis."""
+    from vitparticlefiltertracker_tpu.runtime.banked import MultiStreamTracker
+
+    k = 2
+    srcs = [
+        open_source("synthetic:moving-square", 5, (224, 224), seed=i)
+        for i in range(k)
+    ]
+    clips = [list(s) for s in srcs]
+    bboxes = np.stack([np.asarray(s.init_bbox, np.float32) for s in srcs])
+    frames = [np.stack([clips[s][t] for s in range(k)]) for t in range(5)]
+
+    def run(**runtime):
+        cfg = _cfg(**runtime)
+        ms = MultiStreamTracker(cfg, num_streams=k)
+        assert (ms.mesh is not None) == bool(runtime)
+        ms.init(frames[0], bboxes)
+        out = [ms.step_device(jax.numpy.asarray(f)) for f in frames[1:]]
+        return np.asarray([np.asarray(o.position) for o in out])
+
+    a = run()
+    b = run(mesh_banks=2, mesh_particles=4)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+@needs8
+def test_train_features_auto_data_parallel(tmp_path):
+    """train_features picks up all visible devices when batch divides."""
+    cfg = Config.from_dict({
+        "model": {"variant": "custom", "depth": 1, "dim": 32, "heads": 2,
+                  "mlp_dim": 64, "patch_size": 16, "image_size": 32,
+                  "dtype": "float32", "use_flash_attention": False},
+        "train": {"steps": 2, "batch_size": 8, "canvas": 64, "window": 32,
+                  "warmup": 1, "log_every": 1,
+                  "checkpoint_out": str(tmp_path / "w.npz")},
+    })
+    from vitparticlefiltertracker_tpu.training.train import train_features
+
+    logs = []
+    train_features(cfg, log=logs.append)
+    assert any("data-parallel training over 8 devices" in s for s in logs), logs
+    import json
+
+    metric_lines = [s for s in logs if s.startswith("{")]
+    assert metric_lines and np.isfinite(json.loads(metric_lines[-1])["loss"])

@@ -51,13 +51,13 @@ VARIANTS = {
     # resamples at ~5.5px spacing, so stride 4 is lossless in practice.
     "eval5-roi": {
         "model": "vit-l16", "particles": 16384, "frame": (2160, 3840),
-        "frames": 120, "roi": {"px": 1536, "stride": 4, "glob_stride": 8, "glob_every": 4},
+        "frames": 240, "roi": {"px": 1540, "stride": 5, "glob_stride": 8, "glob_every": 8},
         "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
     },
     "1080p": {"model": "vit-l16", "particles": 16384, "frame": (1080, 1920), "frames": 16},
     "1080p-roi": {
         "model": "vit-l16", "particles": 16384, "frame": (1080, 1920),
-        "frames": 120, "roi": {"px": 1024, "stride": 2, "glob_stride": 4, "glob_every": 4},
+        "frames": 240, "roi": {"px": 768, "stride": 2, "glob_stride": 4, "glob_every": 8},
         "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
     },
     "720p": {"model": "vit-b16", "particles": 1024, "frame": (720, 1280), "frames": 24},
@@ -150,6 +150,8 @@ def run_variant(name: str) -> dict:
     stats = stream_track(
         tracker, src, np.asarray(src.init_bbox),
         on_record=recs.append if roi else None,
+        readback_window=24 if roi else 4,
+        pump_depth=4,
         roi_px=roi["px"] if roi else 0,
         roi_stride=roi["stride"] if roi else 1,
         glob_stride=roi["glob_stride"] if roi else 8,
@@ -196,9 +198,19 @@ def main() -> int:
     enable_compilation_cache()
     rows = [run_variant(v) for v in args.variants]
     out = os.path.join(REPO, "docs", "bench_stream_e2e.jsonl")
+    # Merge by variant so a partial re-run doesn't drop other rows.
+    merged: dict[str, dict] = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    merged[r["variant"]] = r
+    for r in rows:
+        merged[r["variant"]] = r
     with open(out, "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
+        for key in sorted(merged):
+            f.write(json.dumps(merged[key]) + "\n")
     print(f"wrote {out}", file=sys.stderr)
     return 0
 

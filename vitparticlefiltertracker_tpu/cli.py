@@ -168,6 +168,7 @@ def cmd_stream(cfg: Config, quiet: bool = False) -> int:
     stats = stream_track(
         tracker, source, init_bbox, on_record=sink.write,
         pump_depth=rt.prefetch_frames,
+        readback_window=rt.stream_readback,
         roi_px=rt.stream_roi if rt.banks == 1 else 0,
         roi_stride=rt.stream_roi_stride,
         glob_stride=rt.stream_glob_stride,

@@ -257,6 +257,12 @@ class RuntimeConfig:
     stream_roi_stride: int = 1
     stream_glob_stride: int = 8
     stream_glob_every: int = 4
+    # Trailing-readback window of the streaming pipeline: records are read
+    # back in ONE packed D2H transfer per window (one relay round-trip per
+    # `stream_readback` frames, not per frame). Larger = higher throughput
+    # over a high-RTT link, at `stream_readback` frames of record latency
+    # (and ROI-steering lag).
+    stream_readback: int = 4
     profile_dir: str = ""  # jax.profiler trace output ("" disables)
 
 

@@ -111,6 +111,23 @@ def check_tp_divisibility(heads: int, mlp_dim: int, model_axis: int) -> None:
         )
 
 
+def tracker_state_sharding(mesh: Mesh, state_example) -> Any:
+    """Sharding pytree for a SINGLE-object TrackerState: the particle-filter
+    leaves shard their leading N axis over "particle"; everything else
+    (template, window center, RNG key, flags) replicates. This is the
+    single-`Tracker` analog of banked_state_sharding — used when
+    runtime.mesh_particles > 1 without banks (eval configs 3/5: one target,
+    4k-16k particles)."""
+    import jax.tree_util as jtu
+
+    rep = replicated(mesh)
+    pf_sh = jtu.tree_map(
+        lambda x: NamedSharding(mesh, P("particle", *([None] * (x.ndim - 1)))),
+        state_example.pf,
+    )
+    return jtu.tree_map(lambda _: rep, state_example)._replace(pf=pf_sh)
+
+
 def banked_state_sharding(mesh: Mesh, state_example) -> Any:
     """Sharding pytree for a banked TrackerState: leading axis -> "bank",
     per-particle arrays also shard their particle axis -> "particle".

@@ -93,18 +93,41 @@ class MultiStreamTracker:
     (tested); one jitted call per frame-batch.
     """
 
-    def __init__(self, cfg: Config, num_streams: int, vit_params=None):
+    def __init__(self, cfg: Config, num_streams: int, vit_params=None, mesh=None):
         cfg.resolve()
         self.cfg = cfg
         self.k = num_streams
         from vitparticlefiltertracker_tpu.models.params import resolve_vit_params
 
-        self.vit_params = jax.device_put(resolve_vit_params(cfg, vit_params))
+        vit_params = resolve_vit_params(cfg, vit_params)
         init_m, step_m, clip_m = build_multistream_fns(cfg, num_streams)
         don = (1,) if cfg.runtime.donate_state else ()
-        self._init_jit = jax.jit(init_m)
-        self._step_jit = jax.jit(step_m, donate_argnums=don)
-        self._clip_jit = jax.jit(clip_m, donate_argnums=don)
+
+        # runtime.mesh_*: streams ride the "bank" axis (each stream's state
+        # AND frame shard to its chips), particle/model axes as in
+        # MultiTracker. One serve process then drives a whole mesh.
+        r = cfg.runtime
+        if mesh is None and r.mesh_banks * r.mesh_particles * r.mesh_model > 1:
+            mesh = make_mesh(r.mesh_banks, r.mesh_particles, r.mesh_model)
+        self.mesh = mesh
+        if mesh is not None:
+            if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+                check_tp_divisibility(
+                    cfg.model.heads, cfg.model.mlp_dim, mesh.shape["model"]
+                )
+            self._param_sh = vit_param_sharding(mesh, vit_params)
+            self.vit_params = jax.device_put(vit_params, self._param_sh)
+            self._init_jit = jax.jit(init_m)
+            self._step_jit = None  # built lazily once state sharding is known
+            self._step_m = step_m
+            self._clip_jit = None
+            self._clip_m = clip_m
+            self._don = don
+        else:
+            self.vit_params = jax.device_put(vit_params)
+            self._init_jit = jax.jit(init_m)
+            self._step_jit = jax.jit(step_m, donate_argnums=don)
+            self._clip_jit = jax.jit(clip_m, donate_argnums=don)
         self.state = None
 
     def init(self, frames: np.ndarray, bboxes, seeds=None) -> None:
@@ -112,10 +135,34 @@ class MultiStreamTracker:
         bboxes = jnp.asarray(np.asarray(bboxes, np.float32)).reshape(self.k, 4)
         if seeds is None:
             seeds = np.arange(self.k, dtype=np.int32) + self.cfg.filter.seed
-        self.state = self._init_jit(
+        state = self._init_jit(
             self.vit_params, jnp.asarray(frames), bboxes,
             jnp.asarray(seeds, jnp.int32),
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shardings = banked_state_sharding(self.mesh, state)
+            state = jax.device_put(state, shardings)
+            if self._step_jit is None:
+                # Frames [K, H, W, 3] shard their stream axis over "bank":
+                # each stream's pixels live with its filter state.
+                frame_sh = NamedSharding(self.mesh, P("bank"))
+                self._step_jit = jax.jit(
+                    self._step_m,
+                    in_shardings=(self._param_sh, shardings, frame_sh),
+                    out_shardings=(shardings, None),
+                    donate_argnums=self._don,
+                )
+                # Clips [T, K, ...]: stream axis is dim 1.
+                clip_sh = NamedSharding(self.mesh, P(None, "bank"))
+                self._clip_jit = jax.jit(
+                    self._clip_m,
+                    in_shardings=(self._param_sh, shardings, clip_sh),
+                    out_shardings=(shardings, None),
+                    donate_argnums=self._don,
+                )
+        self.state = state
 
     def step_device(self, frames_dev: jax.Array):
         """frames_dev: [K, H, W, 3] -> TrackOutput with leading K axis."""

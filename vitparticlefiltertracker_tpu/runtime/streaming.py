@@ -20,9 +20,45 @@ import time
 from typing import Any, Callable, Iterable, Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vitparticlefiltertracker_tpu.ops.image import FrameView, StreamFrame
+
+
+class OutputPacker:
+    """Pack a TrackOutput pytree into ONE flat f32 device array per frame.
+
+    On this rig the device sits behind a relay with ~30-60 ms RTT per
+    readback; fetching a record's 7 fields as 7 separate D2H transfers cost
+    ~370 ms/frame (measured, round 3) and capped the ROI streaming pipeline
+    at ~2.6 fps regardless of device speed. One packed array per frame +
+    chunked stacking makes the whole readback path one RTT per CHUNK of
+    frames.
+    """
+
+    def __init__(self, out_example):
+        leaves, self._treedef = jax.tree_util.tree_flatten(out_example)
+        self._shapes = [tuple(x.shape) for x in leaves]
+        self._sizes = [int(np.prod(s)) if s else 1 for s in self._shapes]
+        self._pack = jax.jit(
+            lambda o: jnp.concatenate(
+                [
+                    jnp.ravel(x).astype(jnp.float32)
+                    for x in jax.tree_util.tree_leaves(o)
+                ]
+            )
+        )
+
+    def pack(self, out) -> jax.Array:
+        return self._pack(out)
+
+    def unpack(self, row: np.ndarray):
+        arrs, off = [], 0
+        for shape, size in zip(self._shapes, self._sizes):
+            arrs.append(np.asarray(row[off : off + size]).reshape(shape))
+            off += size
+        return jax.tree_util.tree_unflatten(self._treedef, arrs)
 
 
 class RoiShipper:
@@ -211,6 +247,8 @@ def stream_track(
         )
 
     pending: list[tuple[int, Any]] = []
+    packer: OutputPacker | None = None
+    want_records = on_record is not None or shipper is not None
     n = 0
     ingest_wait = submit = readback = 0.0
     t0 = time.perf_counter()
@@ -226,19 +264,27 @@ def stream_track(
         else:
             dev = jax.device_put(frame)  # async H2D; overlaps previous step
         out = tracker.step_device(dev)
+        if want_records:
+            # Pack each record into one flat device array; the readback
+            # below fetches a whole window in ONE D2H transfer (one relay
+            # RTT per window, not 7 transfers per frame).
+            if packer is None:
+                packer = OutputPacker(out)
+            pending.append((n + 1, packer.pack(out)))
         submit += time.perf_counter() - t
         n += 1
-        pending.append((n, out))
         if len(pending) > readback_window:
-            idx, old = pending.pop(0)
+            # Drain all but the newest couple of steps: the transfer then
+            # syncs on work that is already (nearly) complete, while the
+            # freshly submitted steps keep the device busy during the RTT.
+            keep = min(2, readback_window - 1)
+            done, pending = pending[: len(pending) - keep], pending[len(pending) - keep :]
             t = time.perf_counter()
-            rec = _emit(idx, old, on_record, force=shipper is not None)
-            if shipper is not None:
-                shipper.observe(rec)
+            _drain(done, packer, on_record, shipper)
             readback += time.perf_counter() - t
     t = time.perf_counter()
-    for idx, out in pending:
-        _emit(idx, out, on_record)
+    if pending:
+        _drain(pending, packer, on_record, shipper)
     # Force full completion with a real readback (block_until_ready is
     # unreliable on this rig's tunneled platform — see runtime/benchmark.py).
     state = getattr(tracker, "state")
@@ -256,18 +302,22 @@ def stream_track(
     }
 
 
-def _emit(idx: int, out, on_record, force: bool = False) -> dict | None:
-    if on_record is None and not force:
-        return None
-    rec = {
-        "frame": idx,
-        "position": np.asarray(out.position).tolist(),
-        "box": np.asarray(out.box).tolist(),
-        "velocity": np.asarray(out.velocity).tolist(),
-        "conf": np.asarray(out.conf).tolist(),
-        "ess": np.asarray(out.ess).tolist(),
-        "lost": np.asarray(out.lost).tolist(),
-    }
-    if on_record is not None:
-        on_record(rec)
-    return rec
+def _drain(pending, packer: OutputPacker, on_record, shipper) -> None:
+    """Read back a window of packed records in one D2H transfer and emit."""
+    buf = np.asarray(jnp.stack([p for _, p in pending]))
+    rec = None
+    for (idx, _), row in zip(pending, buf):
+        out = packer.unpack(row)
+        rec = {
+            "frame": idx,
+            "position": out.position.tolist(),
+            "box": out.box.tolist(),
+            "velocity": out.velocity.tolist(),
+            "conf": out.conf.tolist(),
+            "ess": out.ess.tolist(),
+            "lost": out.lost.astype(bool).tolist(),
+        }
+        if on_record is not None:
+            on_record(rec)
+    if shipper is not None and rec is not None:
+        shipper.observe(rec)  # newest position steers the next ROI crops

@@ -705,7 +705,7 @@ class Tracker:
     a config, feed frames, receive per-frame positions in real time.
     """
 
-    def __init__(self, cfg: Config, vit_params=None):
+    def __init__(self, cfg: Config, vit_params=None, mesh=None):
         cfg.resolve()
         self.cfg = cfg
         spec = VitSpec.from_config(cfg.model)
@@ -715,23 +715,86 @@ class Tracker:
         from vitparticlefiltertracker_tpu.models.params import resolve_vit_params
 
         vit_params = resolve_vit_params(cfg, vit_params)
-        # Weights live on device as jit ARGUMENTS (one H2D), never as
-        # closure constants baked into the HLO (see build_tracker_fns).
-        self.vit_params = jax.device_put(vit_params)
         fns = build_tracker_fns(cfg)
         # runtime.donate_state=false keeps the previous TrackerState buffers
         # alive after each step (debugging / state snapshots at a copy cost).
         don = (1,) if cfg.runtime.donate_state else ()
-        self._init_jit = jax.jit(fns.init)
-        self._step_jit = jax.jit(fns.step, donate_argnums=don)
-        self._clip_jit = jax.jit(fns.track_clip, donate_argnums=don)
+
+        # runtime.mesh_particles/_model shard the single-object tracker
+        # across chips: particle axis over "particle", ViT tensor-parallel
+        # over "model" (parallel/mesh.py). mesh_banks belongs to the banked
+        # tracker (runtime.banks > 1 -> MultiTracker).
+        r = cfg.runtime
+        if mesh is None and r.mesh_particles * r.mesh_model > 1:
+            if r.mesh_banks > 1:
+                raise ValueError(
+                    "runtime.mesh_banks > 1 requires runtime.banks > 1 "
+                    "(the banked MultiTracker)"
+                )
+            from vitparticlefiltertracker_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(1, r.mesh_particles, r.mesh_model)
+        self.mesh = mesh
+        if mesh is not None:
+            from vitparticlefiltertracker_tpu.parallel.mesh import (
+                check_tp_divisibility,
+                vit_param_sharding,
+            )
+
+            if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+                check_tp_divisibility(
+                    cfg.model.heads, cfg.model.mlp_dim, mesh.shape["model"]
+                )
+            self._param_sh = vit_param_sharding(mesh, vit_params)
+            self.vit_params = jax.device_put(vit_params, self._param_sh)
+            self._init_jit = jax.jit(fns.init)
+            self._step_jit = None  # built lazily once state sharding is known
+            self._clip_jit = None
+            self._fns = fns
+            self._don = don
+        else:
+            # Weights live on device as jit ARGUMENTS (one H2D), never as
+            # closure constants baked into the HLO (see build_tracker_fns).
+            self.vit_params = jax.device_put(vit_params)
+            self._init_jit = jax.jit(fns.init)
+            self._step_jit = jax.jit(fns.step, donate_argnums=don)
+            self._clip_jit = jax.jit(fns.track_clip, donate_argnums=don)
         self.state: TrackerState | None = None
 
     # -- lifecycle -----------------------------------------------------------
     def init(self, frame: np.ndarray, bbox) -> None:
         bbox = jnp.asarray(np.asarray(bbox, np.float32))
         seed = jnp.int32(self.cfg.filter.seed)
-        self.state = self._init_jit(self.vit_params, jnp.asarray(frame), bbox, seed)
+        state = self._init_jit(self.vit_params, jnp.asarray(frame), bbox, seed)
+        self._adopt_state(state)
+
+    def _adopt_state(self, state: TrackerState) -> None:
+        """Install a fresh/restored state; in mesh mode, lay it out on the
+        mesh and (once) build the sharded step/clip executables pinned to
+        that layout so donation stays in-place."""
+        if self.mesh is not None:
+            from vitparticlefiltertracker_tpu.parallel.mesh import (
+                replicated,
+                tracker_state_sharding,
+            )
+
+            shardings = tracker_state_sharding(self.mesh, state)
+            state = jax.device_put(state, shardings)
+            if self._step_jit is None:
+                rep = replicated(self.mesh)
+                self._step_jit = jax.jit(
+                    self._fns.step,
+                    in_shardings=(self._param_sh, shardings, rep),
+                    out_shardings=(shardings, None),
+                    donate_argnums=self._don,
+                )
+                self._clip_jit = jax.jit(
+                    self._fns.track_clip,
+                    in_shardings=(self._param_sh, shardings, rep),
+                    out_shardings=(shardings, None),
+                    donate_argnums=self._don,
+                )
+        self.state = state
 
     def step(self, frame: np.ndarray) -> dict[str, Any]:
         """Track one frame; returns a host-side record (the one D2H)."""
@@ -764,7 +827,7 @@ class Tracker:
     def resume(self, path: str) -> None:
         """Restore mid-stream state; subsequent steps continue the exact
         trajectory the checkpointed run would have produced."""
-        self.state = load_tracker_state(path)
+        self._adopt_state(load_tracker_state(path))
 
     @staticmethod
     def _to_record(out: TrackOutput) -> dict[str, Any]:

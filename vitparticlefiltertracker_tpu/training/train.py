@@ -152,7 +152,21 @@ def train_features(cfg, log=None) -> dict:
     tr = cfg.train
     if log is None:
         log = lambda s: print(s, file=sys.stderr)
-    init_fn, step_fn = build_train_step(cfg)
+    # Data-parallel over every visible device (VERDICT r2 #6): the batch
+    # shards over a ("data",) mesh, params/optimizer replicate, GSPMD
+    # inserts the gradient AllReduce. Single device (this rig's one chip)
+    # -> no mesh, identical program to before.
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and tr.batch_size % n_dev == 0:
+        mesh = make_data_mesh(n_dev)
+        log(f"data-parallel training over {n_dev} devices")
+    elif n_dev > 1:
+        log(
+            f"train.batch_size {tr.batch_size} not divisible by {n_dev} "
+            "devices; running single-device"
+        )
+    init_fn, step_fn = build_train_step(cfg, mesh=mesh)
     init_jit = jax.jit(init_fn)
     step_jit = jax.jit(step_fn, donate_argnums=(0, 1))
 

@@ -277,6 +277,128 @@ int vpt_read_frame(void *h, int64_t idx, uint8_t *out) {
   return 0;
 }
 
+// Composited value of one integer pixel (background + target overlay) for
+// synthetic sources, or the raw mapped pixel — shared by the bilinear view
+// sampler below. x/y must be in-bounds.
+inline const uint8_t *pixel_at(const Source &s, const uint8_t *base, int tx0,
+                               int ty0, int x, int y) {
+  if (s.synthetic) {
+    const int px = x - tx0, py = y - ty0;
+    if (px >= 0 && px < s.tw && py >= 0 && py < s.th)
+      return &s.pattern[(static_cast<size_t>(py) * s.tw + px) * 3];
+  }
+  return base + (static_cast<size_t>(y) * s.width + x) * 3;
+}
+
+// Strided rectangle read WITHOUT materializing the frame — the host half of
+// ROI-only streaming (runtime/streaming.py RoiShipper). The device step only
+// samples a search window around the target, so the ingestion runtime hands
+// out exactly that window: for raw sources a strided gather from the mmap
+// (touches rect bytes, not frame bytes); for synthetic sources the rect is
+// composited directly (background + target overlap). out must hold
+// ceil(h/stride) * ceil(w/stride) * 3 bytes.
+int vpt_read_rect(void *h, int64_t idx, int x0, int y0, int w, int hh,
+                  int stride, uint8_t *out) {
+  auto *s = static_cast<Source *>(h);
+  if (idx < 0 || idx >= s->num_frames || stride < 1) return -1;
+  if (x0 < 0 || y0 < 0 || x0 + w > s->width || y0 + hh > s->height) return -1;
+  const int ow = (w + stride - 1) / stride;
+  const int oh = (hh + stride - 1) / stride;
+  const int64_t W = s->width;
+
+  // Target placement for synthetic compositing (mirrors synth_frame).
+  int tx0 = 0, ty0 = 0;
+  if (s->synthetic) {
+    float c[2];
+    vpt_synth_truth(h, idx, c);
+    tx0 = static_cast<int>(std::lround(c[0] - s->tw / 2.0));
+    ty0 = static_cast<int>(std::lround(c[1] - s->th / 2.0));
+  }
+  const uint8_t *base =
+      s->synthetic ? s->background.data()
+                   : s->map + static_cast<size_t>(idx) * s->frame_bytes;
+
+  for (int r = 0; r < oh; ++r) {
+    const int y = y0 + r * stride;
+    const uint8_t *row = base + (static_cast<size_t>(y) * W + x0) * 3;
+    uint8_t *dst = out + static_cast<size_t>(r) * ow * 3;
+    if (stride == 1) {
+      std::memcpy(dst, row, static_cast<size_t>(ow) * 3);
+    } else {
+      for (int cidx = 0; cidx < ow; ++cidx) {
+        const uint8_t *p = row + static_cast<size_t>(cidx) * stride * 3;
+        dst[cidx * 3 + 0] = p[0];
+        dst[cidx * 3 + 1] = p[1];
+        dst[cidx * 3 + 2] = p[2];
+      }
+    }
+    if (s->synthetic) {
+      const int py = y - ty0;  // pattern row intersecting this output row
+      if (py >= 0 && py < s->th) {
+        for (int cidx = 0; cidx < ow; ++cidx) {
+          const int px = x0 + cidx * stride - tx0;
+          if (px < 0 || px >= s->tw) continue;
+          const uint8_t *p = &s->pattern[(static_cast<size_t>(py) * s->tw + px) * 3];
+          dst[cidx * 3 + 0] = p[0];
+          dst[cidx * 3 + 1] = p[1];
+          dst[cidx * 3 + 2] = p[2];
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+// Bilinear-resampled square view: out[j, i] = frame sampled at
+// (ox + i*stride, oy + j*stride), stride fractional, edge-clamped taps.
+// This is the "ship exactly what the device samples" ingest path: the
+// device's window resample reads a ~224px grid whatever the frame size, so
+// the host synthesizes a view on that grid (plus margin) and H2D becomes
+// resolution-INDEPENDENT (~0.2 MB at 4K as at 480p). Matches the FrameView
+// convention (runtime/streaming.py): pixels[0,0] center sits at (ox, oy).
+int vpt_read_view(void *h, int64_t idx, float ox, float oy, float stride,
+                  int out_size, uint8_t *out) {
+  auto *s = static_cast<Source *>(h);
+  if (idx < 0 || idx >= s->num_frames || stride <= 0.0f || out_size <= 0)
+    return -1;
+  int tx0 = 0, ty0 = 0;
+  if (s->synthetic) {
+    float c[2];
+    vpt_synth_truth(h, idx, c);
+    tx0 = static_cast<int>(std::lround(c[0] - s->tw / 2.0));
+    ty0 = static_cast<int>(std::lround(c[1] - s->th / 2.0));
+  }
+  const uint8_t *base =
+      s->synthetic ? s->background.data()
+                   : s->map + static_cast<size_t>(idx) * s->frame_bytes;
+  const int W = s->width, H = s->height;
+  for (int j = 0; j < out_size; ++j) {
+    float fy = oy + j * stride;
+    fy = std::fmin(std::fmax(fy, 0.0f), static_cast<float>(H - 1));
+    const int y0 = static_cast<int>(fy);
+    const int y1 = std::min(y0 + 1, H - 1);
+    const float wy = fy - y0;
+    uint8_t *dst = out + static_cast<size_t>(j) * out_size * 3;
+    for (int i = 0; i < out_size; ++i) {
+      float fx = ox + i * stride;
+      fx = std::fmin(std::fmax(fx, 0.0f), static_cast<float>(W - 1));
+      const int x0 = static_cast<int>(fx);
+      const int x1 = std::min(x0 + 1, W - 1);
+      const float wx = fx - x0;
+      const uint8_t *p00 = pixel_at(*s, base, tx0, ty0, x0, y0);
+      const uint8_t *p01 = pixel_at(*s, base, tx0, ty0, x1, y0);
+      const uint8_t *p10 = pixel_at(*s, base, tx0, ty0, x0, y1);
+      const uint8_t *p11 = pixel_at(*s, base, tx0, ty0, x1, y1);
+      for (int c = 0; c < 3; ++c) {
+        const float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
+                        wy * ((1 - wx) * p10[c] + wx * p11[c]);
+        dst[i * 3 + c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+  return 0;
+}
+
 // ---- streaming ring ------------------------------------------------------
 
 int vpt_stream_start(void *h, int depth) {

@@ -17,4 +17,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# Opt-in real-hardware runs (VPT_TEST_BACKEND=tpu): used by the on-TPU
+# smoke tests (tests/test_flash_tpu.py) that guard kernels no CPU-suite
+# config compiles — everything else runs on the forced-CPU fake mesh.
+if os.environ.get("VPT_TEST_BACKEND", "cpu") != "tpu":
+    jax.config.update("jax_platforms", "cpu")

@@ -127,3 +127,65 @@ def test_stream_backpressure_bounded():
     assert len(rest) == 99
     assert first.shape == (32, 32, 3)
     src.close()
+
+
+def test_read_rect_matches_frame_slice_synthetic():
+    src = native.NativeSyntheticSource(10, 200, 260, seed=5)
+    for idx, (x0, y0, w, h, s) in [
+        (0, (0, 0, 260, 200, 1)),       # whole frame
+        (3, (40, 30, 120, 96, 1)),      # interior rect
+        (3, (40, 30, 120, 96, 4)),      # strided interior rect
+        (7, (0, 0, 260, 200, 8)),       # decimated whole frame
+        (9, (257, 197, 3, 3, 1)),       # bottom-right corner
+    ]:
+        full = src.read(idx)
+        got = src.read_rect(idx, x0, y0, w, h, s)
+        np.testing.assert_array_equal(got, full[y0 : y0 + h : s, x0 : x0 + w : s])
+    src.close()
+
+
+def test_read_rect_matches_frame_slice_raw(tmp_path):
+    rng = np.random.default_rng(1)
+    clip = rng.integers(0, 255, size=(4, 60, 80, 3), dtype=np.uint8)
+    path = str(tmp_path / "clip.rgb24")
+    with open(path, "wb") as f:
+        f.write(clip.tobytes())
+    src = native.NativeRawSource(path, 60, 80)
+    got = src.read_rect(2, 10, 8, 48, 40, 3)
+    np.testing.assert_array_equal(got, clip[2, 8 : 8 + 40 : 3, 10 : 10 + 48 : 3])
+    src.close()
+
+
+def test_read_rect_rejects_out_of_range():
+    src = native.NativeSyntheticSource(4, 50, 50, seed=0)
+    with pytest.raises(ValueError):
+        src.read_rect(0, 40, 40, 20, 20, 1)  # spills past the frame edge
+    with pytest.raises(ValueError):
+        src.read_rect(99, 0, 0, 10, 10, 1)  # bad frame index
+    src.close()
+
+
+def test_read_view_matches_numpy_bilinear():
+    src = native.NativeSyntheticSource(6, 180, 240, seed=9)
+    idx, ox, oy, stride, out = 3, 20.5, 14.25, 2.75, 48
+    got = src.read_view(idx, ox, oy, stride, out).astype(np.float64)
+    frame = src.read(idx).astype(np.float64)
+    fy = np.clip(oy + np.arange(out) * stride, 0, 179)
+    fx = np.clip(ox + np.arange(out) * stride, 0, 239)
+    y0 = fy.astype(int); y1 = np.minimum(y0 + 1, 179); wy = fy - y0
+    x0 = fx.astype(int); x1 = np.minimum(x0 + 1, 239); wx = fx - x0
+    want = (
+        (1 - wy)[:, None, None] * ((1 - wx)[None, :, None] * frame[y0][:, x0]
+                                   + wx[None, :, None] * frame[y0][:, x1])
+        + wy[:, None, None] * ((1 - wx)[None, :, None] * frame[y1][:, x0]
+                               + wx[None, :, None] * frame[y1][:, x1])
+    )
+    np.testing.assert_allclose(got, np.floor(want + 0.5), atol=1.0)
+    src.close()
+
+
+def test_read_view_stride1_is_identity():
+    src = native.NativeSyntheticSource(4, 100, 120, seed=2)
+    got = src.read_view(1, 10.0, 20.0, 1.0, 32)
+    np.testing.assert_array_equal(got, src.read(1)[20:52, 10:42])
+    src.close()

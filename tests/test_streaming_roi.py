@@ -199,3 +199,53 @@ def test_roi_glob_redetect_recovers_teleport():
     frames_idx = np.array([r["frame"] for r in recs])
     late = errs[frames_idx >= t_show + 6]
     assert late.mean() < 20.0, (late, errs)
+
+
+def test_stream_track_native_roi_fast_path():
+    """With a native source and ROI shipping, stream_track takes the
+    read_rect fast path: the full frame is read once (init) and every
+    subsequent step ingests only the search window + periodic decimated
+    view straight from the C++ ingestion runtime."""
+    import pytest
+
+    from vitparticlefiltertracker_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    n = 20
+    src = native.NativeSyntheticSource(n, 320, 320, seed=0)
+    reads = {"full": 0, "rect": 0}
+    orig_read, orig_rect = src.read, src.read_rect
+
+    def counting_read(idx):
+        reads["full"] += 1
+        return orig_read(idx)
+
+    def counting_rect(*a, **k):
+        reads["rect"] += 1
+        return orig_rect(*a, **k)
+
+    src.read, src.read_rect = counting_read, counting_rect
+    tr = Tracker(_cfg())
+    recs = []
+    stats = stream_track(
+        tr,
+        src,
+        src.init_bbox,
+        on_record=recs.append,
+        roi_px=224,
+        glob_stride=4,
+        glob_every=4,
+    )
+    assert stats["frames"] == n - 1
+    assert reads["full"] == 1  # only the init frame
+    assert reads["rect"] >= n - 1
+    truth = src.truth
+    errs = [
+        np.hypot(r["position"][0] - truth[r["frame"]][0],
+                 r["position"][1] - truth[r["frame"]][1])
+        for r in recs
+    ]
+    rmse = float(np.sqrt(np.mean(np.square(errs))))
+    assert rmse < 12.0, f"RMSE {rmse}, errs {errs}"
+    src.close()

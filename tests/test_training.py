@@ -55,13 +55,15 @@ def test_pair_batch_counter_deterministic():
 
 def test_ring_offsets_cover_fine_and_clear_radii():
     offs = np.asarray(ring_offsets())
-    assert offs.shape == (32, 2)
+    assert offs.shape == (40, 2)
     r = np.linalg.norm(offs, axis=1)
-    # Fine overlapping negatives (localization sharpness) ...
-    assert np.isclose(r.min(), 0.55, atol=1e-5)
+    # Fine overlapping negatives (localization sharpness at particle-cloud
+    # scale) ...
+    assert np.isclose(r.min(), 0.3, atol=1e-5)
     # ... through clearly-separated ones (discrimination range).
     assert r.max() >= 3.0 - 1e-6
-    assert np.all(r >= 0.5)  # never so close the label is ambiguous
+    # Never closer than the template jitter scale (label ambiguity).
+    assert np.all(r >= 0.25)
 
 
 def test_decay_mask_kernels_only():

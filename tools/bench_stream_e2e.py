@@ -51,13 +51,19 @@ VARIANTS = {
     # resamples at ~5.5px spacing, so stride 4 is lossless in practice.
     "eval5-roi": {
         "model": "vit-l16", "particles": 16384, "frame": (2160, 3840),
-        "frames": 240, "roi": {"px": 1540, "stride": 5, "glob_stride": 8, "glob_every": 8},
+        # Resampled-view ROI (vpt_read_view): 1400px span shipped as a 256²
+        # bilinear view (stride 5.47 ~= the 1232px search window's own 224-
+        # grid sample spacing, so fidelity matches the strided-5 slice at
+        # 2/3 the bytes).
+        "frames": 240, "roi": {"px": 1600, "out": 288, "glob_stride": 8, "glob_every": 8},
         "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
     },
     "1080p": {"model": "vit-l16", "particles": 16384, "frame": (1080, 1920), "frames": 16},
     "1080p-roi": {
         "model": "vit-l16", "particles": 16384, "frame": (1080, 1920),
-        "frames": 240, "roi": {"px": 768, "stride": 2, "glob_stride": 4, "glob_every": 8},
+        # 768px span as a 280² view (stride 2.74 ~= the 616px window's own
+        # sample spacing): 0.24 MB/frame instead of the 0.44 MB strided crop.
+        "frames": 240, "roi": {"px": 768, "out": 280, "glob_stride": 4, "glob_every": 8},
         "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
     },
     "720p": {"model": "vit-b16", "particles": 1024, "frame": (720, 1280), "frames": 24},
@@ -131,10 +137,13 @@ def run_variant(name: str) -> dict:
         # Warm the ROI-shaped executable (its own compile: different input
         # structure) with a throwaway shipper; stream_track re-inits below.
         ship = RoiShipper((h, w), roi["px"], (w / 2, h / 2),
-                          roi_stride=roi["stride"],
+                          roi_stride=roi.get("stride", 1),
                           glob_stride=roi["glob_stride"],
-                          glob_every=roi["glob_every"])
-        warm_dev = ship.ship(warm)
+                          glob_every=roi["glob_every"],
+                          roi_out=roi.get("out", 0))
+        warm_dev = (
+            ship.ship_native(src, 0) if roi.get("out") else ship.ship(warm)
+        )
         shipped_mb = ship.shipped_bytes_per_frame / 1e6
     else:
         warm_dev = jax.device_put(warm)
@@ -150,12 +159,14 @@ def run_variant(name: str) -> dict:
     stats = stream_track(
         tracker, src, np.asarray(src.init_bbox),
         on_record=recs.append if roi else None,
-        readback_window=24 if roi else 4,
+        readback_window=32 if roi else 4,
         pump_depth=4,
         roi_px=roi["px"] if roi else 0,
-        roi_stride=roi["stride"] if roi else 1,
+        roi_stride=roi.get("stride", 1) if roi else 1,
         glob_stride=roi["glob_stride"] if roi else 8,
         glob_every=roi["glob_every"] if roi else 4,
+        roi_out=roi.get("out", 0) if roi else 0,
+        steer_lag=32,
     )
     row = {
         "variant": name,

@@ -171,6 +171,8 @@ def cmd_stream(cfg: Config, quiet: bool = False) -> int:
         readback_window=rt.stream_readback,
         roi_px=rt.stream_roi if rt.banks == 1 else 0,
         roi_stride=rt.stream_roi_stride,
+        roi_out=rt.stream_roi_out,
+        steer_lag=rt.stream_steer_lag,
         glob_stride=rt.stream_glob_stride,
         glob_every=rt.stream_glob_every,
     )

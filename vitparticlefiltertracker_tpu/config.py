@@ -255,14 +255,24 @@ class RuntimeConfig:
     # lost/re-detect path.
     stream_roi: int = 0
     stream_roi_stride: int = 1
+    # stream_roi_out > 0 (native sources only): ship the ROI span as a
+    # stream_roi_out² bilinear view at fractional stride — exactly the grid
+    # the device window-resample reads, making the H2D payload
+    # resolution-independent (~3*out² bytes at 4K as at 480p). 0 = strided
+    # slice of stream_roi at stream_roi_stride.
+    stream_roi_out: int = 0
     stream_glob_stride: int = 8
     stream_glob_every: int = 4
     # Trailing-readback window of the streaming pipeline: records are read
     # back in ONE packed D2H transfer per window (one relay round-trip per
     # `stream_readback` frames, not per frame). Larger = higher throughput
-    # over a high-RTT link, at `stream_readback` frames of record latency
-    # (and ROI-steering lag).
+    # over a high-RTT link, at `stream_readback` frames of record latency.
     stream_readback: int = 4
+    # ROI streaming flow control: max frames submitted ahead of the newest
+    # STEERED estimate (a dedicated thread feeds positions back to the ROI
+    # cropper). Bounds the steering lag — and so how far the predicted crop
+    # can drift off a moving target — at the cost of capping pipeline depth.
+    stream_steer_lag: int = 16
     profile_dir: str = ""  # jax.profiler trace output ("" disables)
 
 
@@ -292,6 +302,14 @@ class TrainConfig:
     metrics_out: str = ""  # JSONL metrics path ("" = stderr only)
     log_every: int = 50
     dtype: str = "float32"  # training compute dtype ("float32"|"bfloat16")
+    # Eval-in-the-loop checkpoint selection (training/probe.py): every
+    # `eval_every` steps run the REAL tracker on held-out synthetic clips
+    # and keep the weights with the best probe RMSE — InfoNCE ranking
+    # accuracy does not predict tracking quality (round-2 finding), so
+    # selection closes on the end metric. 0 disables (last step saved).
+    eval_every: int = 0
+    eval_frames: int = 32  # probe clip length (frames)
+    eval_particles: int = 512  # probe particle count
 
     def resolve(self) -> "TrainConfig":
         if self.steps <= 0 or self.batch_size <= 0:

@@ -70,6 +70,17 @@ def load_library(build_if_missing: bool = True):
     lib.vpt_read_frame.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.vpt_read_rect.restype = ctypes.c_int
+    lib.vpt_read_rect.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.vpt_read_view.restype = ctypes.c_int
+    lib.vpt_read_view.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.vpt_stream_start.restype = ctypes.c_int
     lib.vpt_stream_start.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.vpt_stream_next.restype = ctypes.POINTER(ctypes.c_uint8)
@@ -116,6 +127,38 @@ class _NativeSource:
         )
         if rc != 0:
             raise IndexError(idx)
+        return out
+
+    def read_rect(self, idx: int, x0: int, y0: int, w: int, h: int,
+                  stride: int = 1) -> np.ndarray:
+        """Strided rect read WITHOUT materializing the frame (ROI streaming:
+        the ingestion runtime composites/gathers only the requested window —
+        rect bytes touched, not frame bytes)."""
+        oh, ow = -(-h // stride), -(-w // stride)
+        out = np.empty((oh, ow, 3), np.uint8)
+        rc = self._lib.vpt_read_rect(
+            self._h, idx, x0, y0, w, h, stride,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise ValueError(
+                f"read_rect out of range: idx={idx} rect=({x0},{y0},{w},{h})"
+            )
+        return out
+
+    def read_view(self, idx: int, origin_x: float, origin_y: float,
+                  stride: float, out_size: int) -> np.ndarray:
+        """Bilinear-resampled square view at FRACTIONAL stride: pixel [j, i]
+        samples the frame at (origin + (i, j)*stride), edge-clamped. Ships
+        exactly the grid the device window-resample reads — H2D payload
+        becomes resolution-independent (see runtime/streaming.py)."""
+        out = np.empty((out_size, out_size, 3), np.uint8)
+        rc = self._lib.vpt_read_view(
+            self._h, idx, origin_x, origin_y, stride, out_size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise ValueError(f"read_view: bad idx={idx} or stride={stride}")
         return out
 
     def _start(self) -> None:

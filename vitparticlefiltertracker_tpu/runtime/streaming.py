@@ -90,12 +90,23 @@ class RoiShipper:
         roi_stride: int = 1,
         glob_stride: int = 8,
         glob_every: int = 4,
+        roi_out: int = 0,
     ):
         h, w = int(frame_hw[0]), int(frame_hw[1])
         s = max(1, int(roi_stride))
-        # Static ROI span (frame px), clamped to the frame and rounded to a
-        # stride multiple so the strided slice has a static shape.
-        span = min(int(roi_px), h, w) // s * s
+        # roi_out > 0: resampled-view mode (native sources only) — the ROI
+        # span ships as a roi_out² bilinear view at FRACTIONAL stride
+        # span/roi_out, i.e. exactly the grid the device window-resample
+        # reads. H2D becomes resolution-independent: ~3*roi_out² bytes at 4K
+        # as at 480p, vs the strided-slice mode's (span/stride)².
+        self._out = int(roi_out)
+        if self._out > 0:
+            span = min(int(roi_px), h, w)
+            self._sv = span / self._out  # fractional view stride (static)
+        else:
+            # Static ROI span (frame px), clamped to the frame and rounded
+            # to a stride multiple so the strided slice has a static shape.
+            span = min(int(roi_px), h, w) // s * s
         if span <= 0:
             raise ValueError(f"stream ROI {roi_px}px too small for stride {s}")
         self._h, self._w = h, w
@@ -112,7 +123,7 @@ class RoiShipper:
     @property
     def shipped_bytes_per_frame(self) -> float:
         """Steady-state H2D payload per frame (bytes), for benchmarks."""
-        roi = (self._span // self._s) ** 2 * 3
+        roi = (self._out if self._out else self._span // self._s) ** 2 * 3
         gh, gw = -(-self._h // self._gs), -(-self._w // self._gs)
         return roi + gh * gw * 3 / self._glob_every
 
@@ -140,11 +151,60 @@ class RoiShipper:
             ),
         )
 
+    def ship_native(self, reader, frame_idx: int) -> StreamFrame:
+        """ROI ingest straight from a native source (io/native.py
+        read_rect): the ingestion runtime composites/gathers only the search
+        window, so the full frame NEVER reaches Python — at 4K this is the
+        difference between touching ~0.3 MB and 24.9 MB per frame on the
+        one-core host."""
+        self._idx = frame_idx  # keep glob cadence aligned with real indices
+        pred = self._last_pos + self._last_vel * max(0, frame_idx - self._last_idx)
+        span, s = self._span, self._s
+        ox = int(np.clip(round(pred[0] - span / 2), 0, self._w - span))
+        oy = int(np.clip(round(pred[1] - span / 2), 0, self._h - span))
+        if self._out:
+            # Resampled-view mode: sample centers inset half a stride so the
+            # out² grid covers exactly [o, o + span] per axis.
+            sv = self._sv
+            vx, vy = ox + 0.5 * sv, oy + 0.5 * sv
+            roi = reader.read_view(frame_idx, vx, vy, sv, self._out)
+            track = FrameView(
+                pixels=jax.device_put(roi),
+                origin=jax.device_put(np.asarray([vx, vy], np.float32)),
+                stride=sv,
+            )
+        else:
+            roi = reader.read_rect(frame_idx, ox, oy, span, span, s)
+            track = FrameView(
+                pixels=jax.device_put(roi),
+                origin=jax.device_put(np.asarray([ox, oy], np.float32)),
+                stride=float(s),
+            )
+        if self._glob_dev is None or frame_idx % self._glob_every == 0:
+            self._glob_dev = jax.device_put(
+                reader.read_rect(frame_idx, 0, 0, self._w, self._h, self._gs)
+            )
+        return StreamFrame(
+            track=track,
+            glob=FrameView(
+                pixels=self._glob_dev, origin=self._zero2, stride=float(self._gs)
+            ),
+        )
+
     def observe(self, rec: dict) -> None:
-        """Feed a read-back record (trails the stream) to steer the ROI."""
+        """Feed a read-back record (trails the stream) to steer the ROI.
+        Out-of-order records (concurrent steer fetchers) are ignored —
+        only the newest estimate steers."""
+        if int(rec["frame"]) < self._last_idx:
+            return
         self._last_pos = np.asarray(rec["position"], np.float32)
         self._last_vel = np.asarray(rec.get("velocity", (0.0, 0.0)), np.float32)
         self._last_idx = int(rec["frame"])
+
+    @property
+    def observed_idx(self) -> int:
+        """Newest frame index whose estimate has steered the ROI."""
+        return self._last_idx
 
 
 class FramePump:
@@ -210,6 +270,8 @@ def stream_track(
     roi_stride: int = 1,
     glob_stride: int = 8,
     glob_every: int = 4,
+    roi_out: int = 0,
+    steer_lag: int = 16,
 ) -> dict[str, Any]:
     """Run the fused decode→track pipeline over a source.
 
@@ -228,15 +290,30 @@ def stream_track(
     live; `drain_s` is the final flush of in-flight work (device compute
     and transfers that overlapped the loop).
     """
-    pump = FramePump(source, depth=pump_depth)
-    it = iter(pump)
-    frame0 = next(it)
+    # Native ROI fast path: when the source is the native ingestion runtime
+    # (io/native.py) AND ROI shipping is on, frames are never materialized —
+    # each step reads exactly the search window (+ periodic decimated view)
+    # via vpt_read_rect. The prefetch ring is pointless there (ingest is
+    # ~rect bytes); only the init frame is read in full.
+    native_roi = roi_px > 0 and hasattr(source, "read_rect")
+    if native_roi:
+        frame0 = source.read(0)
+        it = iter(range(1, len(source)))
+    else:
+        pump = FramePump(source, depth=pump_depth)
+        it = iter(pump)
+        frame0 = next(it)
     tracker.init(frame0, init_bbox)
     shipper = None
     if roi_px > 0:
         bbox = np.asarray(init_bbox, np.float32)
         if bbox.ndim != 1:
             raise ValueError("ROI streaming supports a single tracker/stream")
+        if roi_out > 0 and not native_roi:
+            raise ValueError(
+                "roi_out (resampled-view ROI) requires a native source "
+                "(io/native.py read_view)"
+            )
         shipper = RoiShipper(
             frame0.shape[:2],
             roi_px,
@@ -244,11 +321,90 @@ def stream_track(
             roi_stride=roi_stride,
             glob_stride=glob_stride,
             glob_every=glob_every,
+            roi_out=roi_out,
         )
 
     pending: list[tuple[int, Any]] = []
     packer: OutputPacker | None = None
     want_records = on_record is not None or shipper is not None
+
+    # Two independent readback paths, neither on the submit thread:
+    #
+    # * STEERING (shipper set): a dedicated thread fetches the NEWEST packed
+    #   record (one tiny D2H, ~RTT) in a loop and feeds shipper.observe —
+    #   ROI steering lag is then ~the device pipeline depth, independent of
+    #   how records are batched. Tying steering to the record windows forced
+    #   a trade-off between drain amortization (big windows) and steering
+    #   lag (small ones): window 8 throttled the pipeline to the drain
+    #   cadence, window 24*3 let the crop drift off the target (RMSE 90 px).
+    # * RECORDS (on_record set): a drainer thread reads whole windows in one
+    #   packed D2H per window. Queue depth 2: records tolerate lag; the
+    #   bound only caps memory.
+    drain_q: queue.Queue = queue.Queue(maxsize=2)
+    drain_err: list[BaseException] = []
+    hist: list[tuple[int, Any]] = []  # recent packed records (main appends)
+    steer_stop = False
+    steer_margin = max(2, steer_lag // 2)
+
+    def _drain_worker() -> None:
+        while True:
+            item = drain_q.get()
+            if item is None:
+                return
+            try:
+                _drain(item, packer, on_record)
+            except BaseException as e:  # surfaced after the loop
+                drain_err.append(e)
+                return
+
+    steer_lock = threading.Lock()
+    steer_claimed = [0]
+
+    def _steer_worker() -> None:
+        # Fetch a record a few frames BEHIND the newest submission: it has
+        # (nearly) completed, so the D2H costs ~one RTT instead of waiting
+        # out the whole in-flight backlog (fetching the head measured
+        # ~700 ms/fetch and throttled the pipeline to steer_lag per fetch).
+        # TWO workers pipeline that RTT (the relay inflates it to ~200 ms
+        # under H2D load); the claim counter keeps them on distinct frames
+        # and observe() drops out-of-order arrivals.
+        while not steer_stop:
+            recent = hist[-(steer_margin + 1) :]
+            item = recent[0] if recent else None
+            with steer_lock:
+                if item is None or item[0] <= steer_claimed[0]:
+                    item = None
+                else:
+                    steer_claimed[0] = item[0]
+            if item is None:
+                time.sleep(0.001)
+                continue
+            idx, packed = item
+            try:
+                out = packer.unpack(np.asarray(packed))  # tiny D2H, ~one RTT
+            except BaseException as e:
+                drain_err.append(e)
+                return
+            shipper.observe(
+                {
+                    "frame": idx,
+                    "position": out.position.tolist(),
+                    "velocity": out.velocity.tolist(),
+                }
+            )
+
+    drainer = None
+    steerers: list[threading.Thread] = []
+    if on_record is not None:
+        drainer = threading.Thread(target=_drain_worker, daemon=True)
+        drainer.start()
+    if shipper is not None:
+        steerers = [
+            threading.Thread(target=_steer_worker, daemon=True) for _ in range(2)
+        ]
+        for th in steerers:
+            th.start()
+
     n = 0
     ingest_wait = submit = readback = 0.0
     t0 = time.perf_counter()
@@ -259,32 +415,53 @@ def stream_track(
         if frame is None:
             break
         t = time.perf_counter()
-        if shipper is not None:
+        if native_roi:
+            dev = shipper.ship_native(source, frame)  # frame is an index
+        elif shipper is not None:
             dev = shipper.ship(frame)  # ROI-only H2D (plus periodic glob)
         else:
             dev = jax.device_put(frame)  # async H2D; overlaps previous step
         out = tracker.step_device(dev)
         if want_records:
-            # Pack each record into one flat device array; the readback
-            # below fetches a whole window in ONE D2H transfer (one relay
-            # RTT per window, not 7 transfers per frame).
+            # Pack each record into one flat device array (the readback
+            # threads fetch packed rows — one transfer, not 7 fields).
             if packer is None:
                 packer = OutputPacker(out)
-            pending.append((n + 1, packer.pack(out)))
+            packed = packer.pack(out)
+            hist.append((n + 1, packed))
+            if len(hist) > 64:
+                del hist[:-64]
+            if on_record is not None:
+                pending.append((n + 1, packed))
         submit += time.perf_counter() - t
         n += 1
-        if len(pending) > readback_window:
-            # Drain all but the newest couple of steps: the transfer then
-            # syncs on work that is already (nearly) complete, while the
-            # freshly submitted steps keep the device busy during the RTT.
-            keep = min(2, readback_window - 1)
-            done, pending = pending[: len(pending) - keep], pending[len(pending) - keep :]
+        if len(pending) > readback_window and not drain_err:
+            done, pending = pending, []
             t = time.perf_counter()
-            _drain(done, packer, on_record, shipper)
+            drain_q.put(done)  # blocks only on drainer backpressure
+            readback += time.perf_counter() - t
+        if shipper is not None and steer_lag > 0:
+            # Flow control: cap the submit-ahead distance over the newest
+            # STEERED estimate. Without it, submission outpaces the
+            # device+relay backlog, the steer fetch chases an ever-staler
+            # head, and the predicted ROI walks off the target (measured:
+            # 49.7 fps but RMSE 109 px / 80 lost frames on the 4K run).
+            # The cap bounds both the steering lag and in-flight memory.
+            t = time.perf_counter()
+            while n - shipper.observed_idx > steer_lag and not drain_err:
+                time.sleep(0.0005)
             readback += time.perf_counter() - t
     t = time.perf_counter()
-    if pending:
-        _drain(pending, packer, on_record, shipper)
+    if drainer is not None:
+        if pending and not drain_err:
+            drain_q.put(pending)
+        drain_q.put(None)
+        drainer.join()
+    steer_stop = True
+    for th in steerers:
+        th.join()
+    if drain_err:
+        raise drain_err[0]
     # Force full completion with a real readback (block_until_ready is
     # unreliable on this rig's tunneled platform — see runtime/benchmark.py).
     state = getattr(tracker, "state")
@@ -302,22 +479,31 @@ def stream_track(
     }
 
 
-def _drain(pending, packer: OutputPacker, on_record, shipper) -> None:
+def _drain(pending, packer: OutputPacker, on_record) -> None:
     """Read back a window of packed records in one D2H transfer and emit."""
-    buf = np.asarray(jnp.stack([p for _, p in pending]))
-    rec = None
+    import os
+
+    t0 = time.perf_counter()
+    stacked = jnp.stack([p for _, p in pending])
+    t1 = time.perf_counter()
+    buf = np.asarray(stacked)
+    if os.environ.get("VPT_STREAM_DEBUG"):
+        print(
+            f"drain[{pending[0][0]}..{pending[-1][0]}]: stack "
+            f"{(t1 - t0) * 1e3:.0f} ms, fetch "
+            f"{(time.perf_counter() - t1) * 1e3:.0f} ms",
+            flush=True,
+        )
     for (idx, _), row in zip(pending, buf):
         out = packer.unpack(row)
-        rec = {
-            "frame": idx,
-            "position": out.position.tolist(),
-            "box": out.box.tolist(),
-            "velocity": out.velocity.tolist(),
-            "conf": out.conf.tolist(),
-            "ess": out.ess.tolist(),
-            "lost": out.lost.astype(bool).tolist(),
-        }
-        if on_record is not None:
-            on_record(rec)
-    if shipper is not None and rec is not None:
-        shipper.observe(rec)  # newest position steers the next ROI crops
+        on_record(
+            {
+                "frame": idx,
+                "position": out.position.tolist(),
+                "box": out.box.tolist(),
+                "velocity": out.velocity.tolist(),
+                "conf": out.conf.tolist(),
+                "ess": out.ess.tolist(),
+                "lost": out.lost.astype(bool).tolist(),
+            }
+        )

@@ -25,16 +25,19 @@ from vitparticlefiltertracker_tpu.ops.likelihood import _cos_to_template, l2_nor
 
 
 def ring_offsets() -> jnp.ndarray:
-    """Hard-negative offsets in units of the box size: 8 directions x 4
-    radii. Radius 0.55 boxes OVERLAP the target (~30% IoU) — ranking the
-    true box above them is what makes the cosine peak in position, i.e.
-    localization precision (the round-2 v1 checkpoint trained without them
-    ranked candidates at 0.97 acc yet tracked ~2x worse than random init:
-    its peaks were flat). Radius 1.0 = adjacent non-overlapping box."""
+    """Hard-negative offsets in units of the box size: 8 directions x 5
+    radii. Overlapping-box radii (0.3, 0.55: ~50%/~30% IoU) are what make
+    the cosine peak in position, i.e. localization precision (the round-2
+    v1 checkpoint trained without them ranked candidates at 0.97 acc yet
+    tracked ~2x worse than random init: its peaks were flat). Radius 0.3
+    targets the scale the posterior mean actually forms at — the particle
+    cloud spreads only a few px, and a profile that is flat there tracks
+    noisily no matter how well it ranks distant boxes. Radius 1.0 =
+    adjacent non-overlapping box."""
     ang = jnp.arange(8, dtype=jnp.float32) * (2 * jnp.pi / 8)
     dirs = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)  # [8, 2]
-    radii = jnp.asarray([0.55, 1.0, 1.75, 3.0], jnp.float32)
-    return (radii[:, None, None] * dirs[None]).reshape(-1, 2)  # [32, 2]
+    radii = jnp.asarray([0.3, 0.55, 1.0, 1.75, 3.0], jnp.float32)
+    return (radii[:, None, None] * dirs[None]).reshape(-1, 2)  # [40, 2]
 
 
 def pair_loss(

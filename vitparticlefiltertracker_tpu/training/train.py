@@ -170,6 +170,23 @@ def train_features(cfg, log=None) -> dict:
     init_jit = jax.jit(init_fn)
     step_jit = jax.jit(step_fn, donate_argnums=(0, 1))
 
+    probe = None
+    if tr.eval_every > 0:
+        from vitparticlefiltertracker_tpu.training.probe import make_probe
+
+        probe = make_probe(
+            cfg, frames=tr.eval_frames, num_particles=tr.eval_particles
+        )
+    best = {"rmse": float("inf"), "params": None, "step": 0}
+
+    def run_probe(step_i: int) -> dict:
+        pm = probe(params)
+        if pm["probe_rmse"] < best["rmse"]:
+            best.update(
+                rmse=pm["probe_rmse"], params=jax.device_get(params), step=step_i
+            )
+        return pm
+
     params, opt_state = init_jit()
     if tr.metrics_out:
         os.makedirs(os.path.dirname(tr.metrics_out) or ".", exist_ok=True)
@@ -178,11 +195,17 @@ def train_features(cfg, log=None) -> dict:
     try:
         for i in range(tr.steps):
             params, opt_state, metrics = step_jit(params, opt_state, jnp.int32(i))
-            if (i + 1) % tr.log_every == 0 or i + 1 == tr.steps:
+            logging = (i + 1) % tr.log_every == 0 or i + 1 == tr.steps
+            probing = probe is not None and (
+                (i + 1) % tr.eval_every == 0 or i + 1 == tr.steps
+            )
+            if logging or probing:
                 # The only host sync of the loop (readback forces completion
                 # of every dispatched step — this rig's block_until_ready is
                 # a no-op, see runtime/benchmark.py).
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                if probing:
+                    m.update({k: round(v, 2) for k, v in run_probe(i + 1).items()})
                 m["step"] = i + 1
                 m["wall_s"] = round(time.perf_counter() - t0, 2)
                 line = json.dumps(m)
@@ -193,6 +216,12 @@ def train_features(cfg, log=None) -> dict:
     finally:
         if metrics_f:
             metrics_f.close()
+    if best["params"] is not None:
+        log(
+            f"checkpoint selection: step {best['step']} "
+            f"(probe_rmse {best['rmse']:.2f}px) of {tr.steps}"
+        )
+        params = best["params"]
     if tr.checkpoint_out:
         os.makedirs(os.path.dirname(tr.checkpoint_out) or ".", exist_ok=True)
         to_save = jax.device_get(params)

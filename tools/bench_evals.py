@@ -176,25 +176,31 @@ def render_md(primary_backend: str) -> None:
             f.write(
                 "\n## Measured end-to-end streaming pipeline "
                 "(tools/bench_stream_e2e.py)\n\n"
-                "ONE live fused decode->track run per row — native C++ "
-                "prefetch ring -> FramePump -> async H2D -> jitted step -> "
-                "trailing readback; nothing stitched. On this rig every "
-                "frame crosses the ~"
-                f"{stream[-1].get('h2d_MBps', 0):.0f} MB/s relay, so the "
-                "pipeline is transport-bound (`drain_s` ~= in-flight "
-                "transfers+compute at exit; `ingest_wait_s` ~0 means the "
-                "C++ ring always kept up). On a co-located host the same "
-                "pipeline rides PCIe/DMA instead.\n\n"
-                "| variant | model/particles | frame | fps (e2e) | ingest "
-                "wait s | submit s | drain s | H2D MB/s | frame MB |\n"
-                "|---|---|---|---|---|---|---|---|---|\n"
+                "ONE live fused decode->track run per row; nothing "
+                "stitched. `-roi` rows run the ROI-only ingest path "
+                "(runtime/streaming.py): the native runtime reads ONLY the "
+                "search window (vpt_read_rect / bilinear vpt_read_view) so "
+                "the full frame never reaches Python, a steering thread "
+                "feeds positions back to aim the next crop, and records "
+                "drain in packed windows off-thread — `shipped MB` is the "
+                "actual per-frame H2D payload (~0.3 MB at 4K instead of "
+                "24.9). Plain rows ship the full frame. All rows cross this "
+                "rig's relay (measured `H2D MB/s`, swings 2-3x with "
+                "congestion); on a co-located host the same pipeline rides "
+                "PCIe/DMA.\n\n"
+                "| variant | model/particles | frame | fps (e2e) | shipped "
+                "MB | track RMSE px | ingest wait s | submit s | readback "
+                "s | H2D MB/s |\n"
+                "|---|---|---|---|---|---|---|---|---|---|\n"
             )
             for r in stream:
+                rmse = r.get("track_rmse_px", "")
                 f.write(
                     f"| {r['variant']} | {r['model']}/{r['particles']} "
                     f"| {r['frame'][0]}x{r['frame'][1]} | {r['fps']} "
-                    f"| {r['ingest_wait_s']} | {r['submit_s']} "
-                    f"| {r['drain_s']} | {r['h2d_MBps']} | {r['frame_MB']} |\n"
+                    f"| {r.get('shipped_MB_per_frame', r['frame_MB'])} "
+                    f"| {rmse} | {r['ingest_wait_s']} | {r['submit_s']} "
+                    f"| {r.get('readback_s', '')} | {r['h2d_MBps']} |\n"
                 )
     print(f"wrote {md}")
 

@@ -71,7 +71,31 @@ def build(checkpoint: str):
     return cfg, es, prm
 
 
-def probe_clip(cfg, es, prm, clip: str, frames: int = 48, seed: int = 0):
+def build_fns(es):
+    """Jitted probe fns, built ONCE (clips share shapes -> one compile).
+    Weights are explicit jit ARGUMENTS (never closure constants — baked
+    constants bloat the HLO and overflow this rig's remote-compile relay;
+    see runtime/tracker.py build_tracker_fns)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def template_of(prm, frame, ctr, side, wh):
+        pool = make_dense_embedder(prm, frame, ctr, side, es)
+        emb, _ = pool(ctr[None], wh[None])
+        return l2_normalize(emb[0].astype(jnp.float32))
+
+    @jax.jit
+    def cos_at(prm, frame, ctr, side, wh, offs_dev, tmpl):
+        pool = make_dense_embedder(prm, frame, ctr, side, es)
+        cand = ctr[None] + offs_dev
+        cos, _ = pool.score(tmpl, cand, jnp.broadcast_to(wh, cand.shape))
+        return cos
+
+    return template_of, cos_at
+
+
+def probe_clip(cfg, fns, prm, clip: str, frames: int = 48, seed: int = 0):
     src = open_source(f"synthetic:{clip}", frames, (480, 640), seed=seed)
     arr = np.stack(list(src)).astype(np.float32)
     truth = src.truth
@@ -93,27 +117,22 @@ def probe_clip(cfg, es, prm, clip: str, frames: int = 48, seed: int = 0):
     )
     n_ring = 1 + sum(len(v) for v in rings.values())
 
-    @jax.jit
-    def template_of(frame, ctr):
-        pool = make_dense_embedder(prm, frame, ctr, jnp.float32(side), es)
-        emb, _ = pool(ctr[None], jnp.asarray(wh)[None])
-        return l2_normalize(emb[0].astype(jnp.float32))
-
-    @jax.jit
-    def cos_at(frame, ctr, tmpl):
-        pool = make_dense_embedder(prm, frame, ctr, jnp.float32(side), es)
-        cand = ctr[None] + jnp.asarray(offs)
-        cos, _ = pool.score(tmpl, cand, jnp.broadcast_to(jnp.asarray(wh), cand.shape))
-        return cos
-
+    template_of, cos_at = fns
+    side_dev = jnp.float32(side)
+    wh_dev = jnp.asarray(wh)
+    offs_dev = jnp.asarray(offs)
     ctr0 = jnp.asarray(truth[0])
-    tmpl = template_of(jnp.asarray(arr[0]), ctr0)
+    tmpl = template_of(prm, jnp.asarray(arr[0]), ctr0, side_dev, wh_dev)
 
     probe_ts = [4, 12, 20, 28, 36, 44]
     rows = []
     for t in probe_ts:
         cos = np.asarray(
-            cos_at(jnp.asarray(arr[t]), jnp.asarray(truth[t]), tmpl), np.float32
+            cos_at(
+                prm, jnp.asarray(arr[t]), jnp.asarray(truth[t]), side_dev,
+                wh_dev, offs_dev, tmpl,
+            ),
+            np.float32,
         )
         c0 = cos[0]
         o = 1
@@ -165,9 +184,10 @@ def main() -> int:
     enable_compilation_cache()
     label = args.label or ("trained" if args.checkpoint else "random")
     cfg, es, prm = build(args.checkpoint)
+    fns = build_fns(es)
     out = []
     for clip in args.clips:
-        row = dict(probe_clip(cfg, es, prm, clip), weights=label)
+        row = dict(probe_clip(cfg, fns, prm, clip), weights=label)
         print(json.dumps(row), flush=True)
         out.append(row)
     path = os.path.join(REPO, "docs", "diag_features.jsonl")

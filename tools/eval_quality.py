@@ -77,7 +77,9 @@ CLIP_OVERRIDES = {
 }
 
 
-def build_cfg(geo: dict, clip: str, checkpoint: str) -> Config:
+def build_cfg(
+    geo: dict, clip: str, checkpoint: str, sets: list[str] = ()
+) -> Config:
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
@@ -97,6 +99,8 @@ def build_cfg(geo: dict, clip: str, checkpoint: str) -> Config:
     )
     for k, v in CLIP_OVERRIDES.get(clip, {}).items():
         apply_override(cfg, f"{k}={v}")
+    for ov in sets:  # --set sweeps (after per-clip overrides: sweeps win)
+        apply_override(cfg, ov)
     # Multi-bank: distinct targets, no lost gating (thresholds are per-clip).
     return cfg.resolve()
 
@@ -245,6 +249,11 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--mp4", action="store_true")
     ap.add_argument("--clips", nargs="+", default=None)
+    ap.add_argument(
+        "--set", action="append", default=[], dest="sets", metavar="K=V",
+        help="config override applied to every clip (after per-clip "
+        "overrides), e.g. --set filter.likelihood_zscale=9",
+    )
     args = ap.parse_args()
     enable_compilation_cache()
     import jax
@@ -256,7 +265,7 @@ def main() -> int:
 
     new_rows = []
     for clip in clips:
-        cfg = build_cfg(geo, clip, args.checkpoint)
+        cfg = build_cfg(geo, clip, args.checkpoint, args.sets)
         rmses, final5, max_errs, lost_frac = [], [], [], []
         for seed in args.seeds:
             runner = run_banked if geo["banks"] > 1 else run_single
@@ -287,6 +296,7 @@ def main() -> int:
                 "seeds": args.seeds,
                 "frames": args.frames,
                 "checkpoint": args.checkpoint,
+                "sets": args.sets,
             }
         )
 

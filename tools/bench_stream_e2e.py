@@ -58,6 +58,15 @@ VARIANTS = {
         "frames": 240, "roi": {"px": 1600, "out": 288, "glob_stride": 8, "glob_every": 8},
         "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
     },
+    # -c4 variants: 4 frames per H2D+dispatch (stream_track chunk=4) — the
+    # per-dispatch relay cost (~11 ms host time, what capped -roi at 44 fps)
+    # amortizes 4x; steering stays per-chunk (ROI prediction covers the gap).
+    "eval5-roi-c4": {
+        "model": "vit-l16", "particles": 16384, "frame": (2160, 3840),
+        "frames": 240, "chunk": 4,
+        "roi": {"px": 1600, "out": 288, "glob_stride": 8, "glob_every": 8},
+        "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
+    },
     "1080p": {"model": "vit-l16", "particles": 16384, "frame": (1080, 1920), "frames": 16},
     "1080p-roi": {
         "model": "vit-l16", "particles": 16384, "frame": (1080, 1920),
@@ -148,12 +157,23 @@ def run_variant(name: str) -> dict:
     else:
         warm_dev = jax.device_put(warm)
         shipped_mb = h * w * 3 / 1e6
-    out = tracker.step_device(warm_dev)
-    np.asarray(out.position)
-    t_dev0 = time.perf_counter()
-    out = tracker.step_device(warm_dev)
-    np.asarray(out.position)
-    step_rtt_ms = (time.perf_counter() - t_dev0) * 1e3
+    chunk = int(v.get("chunk", 1))
+    if chunk > 1:
+        # Warm the CHUNK executable (C-frame scan: its own compile).
+        warm_dev = ship.ship_native_chunk(src, [0] * chunk)
+        out = tracker.step_chunk_device(warm_dev)
+        np.asarray(out.position)
+        t_dev0 = time.perf_counter()
+        out = tracker.step_chunk_device(ship.ship_native_chunk(src, [0] * chunk))
+        np.asarray(out.position)
+        step_rtt_ms = (time.perf_counter() - t_dev0) * 1e3 / chunk
+    else:
+        out = tracker.step_device(warm_dev)
+        np.asarray(out.position)
+        t_dev0 = time.perf_counter()
+        out = tracker.step_device(warm_dev)
+        np.asarray(out.position)
+        step_rtt_ms = (time.perf_counter() - t_dev0) * 1e3
 
     recs: list[dict] = []
     stats = stream_track(
@@ -167,6 +187,7 @@ def run_variant(name: str) -> dict:
         glob_every=roi["glob_every"] if roi else 4,
         roi_out=roi.get("out", 0) if roi else 0,
         steer_lag=32,
+        chunk=chunk,
     )
     row = {
         "variant": name,
@@ -186,6 +207,7 @@ def run_variant(name: str) -> dict:
         "h2d_MBps": round(measure_h2d((h, w, 3)), 1),
         "frame_MB": round(h * w * 3 / 1e6, 1),
         "shipped_MB_per_frame": round(shipped_mb, 3),
+        "chunk": chunk,
         "backend": jax.default_backend(),
     }
     if roi and recs and getattr(src, "truth", None) is not None:

@@ -191,6 +191,80 @@ class RoiShipper:
             ),
         )
 
+    def _chunk_views(self, idxs, read_one) -> StreamFrame:
+        """Stack C ROI reads into ONE StreamFrame with leading-C pixels and
+        origins — one H2D for the crops, one for the origins, one dispatch
+        (Tracker.step_chunk_device). All C centers extrapolate from the same
+        last observation (predictions for idx..idx+C-1), which is exactly
+        what the per-frame path does between steering updates."""
+        pxs, orgs = [], []
+        span, s = self._span, self._s
+        for idx in idxs:
+            pred = self._last_pos + self._last_vel * max(
+                0, idx - self._last_idx
+            )
+            ox = int(np.clip(round(pred[0] - span / 2), 0, self._w - span))
+            oy = int(np.clip(round(pred[1] - span / 2), 0, self._h - span))
+            px, org, sv = read_one(idx, ox, oy)
+            pxs.append(px)
+            orgs.append(org)
+        track = FrameView(
+            pixels=jax.device_put(np.stack(pxs)),
+            origin=jax.device_put(np.stack(orgs).astype(np.float32)),
+            stride=sv,
+        )
+        return StreamFrame(
+            track=track,
+            glob=FrameView(
+                pixels=self._glob_dev, origin=self._zero2, stride=float(self._gs)
+            ),
+        )
+
+    def ship_native_chunk(self, reader, idxs) -> StreamFrame:
+        """Chunked ship_native: C native ROI reads, one stacked H2D."""
+        self._idx = idxs[-1]
+        if self._glob_dev is None or any(
+            i % self._glob_every == 0 for i in idxs
+        ):
+            self._glob_dev = jax.device_put(
+                reader.read_rect(idxs[0], 0, 0, self._w, self._h, self._gs)
+            )
+
+        def read_one(idx, ox, oy):
+            if self._out:
+                sv = self._sv
+                vx, vy = ox + 0.5 * sv, oy + 0.5 * sv
+                return (
+                    reader.read_view(idx, vx, vy, sv, self._out),
+                    np.asarray([vx, vy], np.float32),
+                    sv,
+                )
+            px = reader.read_rect(idx, ox, oy, self._span, self._span, self._s)
+            return px, np.asarray([ox, oy], np.float32), float(self._s)
+
+        return self._chunk_views(idxs, read_one)
+
+    def ship_chunk(self, frames, idxs) -> StreamFrame:
+        """Chunked ship() for numpy-frame sources: C host crops, one H2D."""
+        self._idx = idxs[-1]
+        if self._glob_dev is None or any(
+            i % self._glob_every == 0 for i in idxs
+        ):
+            gs = self._gs
+            self._glob_dev = jax.device_put(
+                np.ascontiguousarray(frames[-1][::gs, ::gs])
+            )
+        frame_of = dict(zip(idxs, frames))
+
+        def read_one(idx, ox, oy):
+            f = frame_of[idx]
+            px = np.ascontiguousarray(
+                f[oy : oy + self._span : self._s, ox : ox + self._span : self._s]
+            )
+            return px, np.asarray([ox, oy], np.float32), float(self._s)
+
+        return self._chunk_views(idxs, read_one)
+
     def observe(self, rec: dict) -> None:
         """Feed a read-back record (trails the stream) to steer the ROI.
         Out-of-order records (concurrent steer fetchers) are ignored —
@@ -272,6 +346,7 @@ def stream_track(
     glob_every: int = 4,
     roi_out: int = 0,
     steer_lag: int = 16,
+    chunk: int = 1,
 ) -> dict[str, Any]:
     """Run the fused decode→track pipeline over a source.
 
@@ -289,6 +364,15 @@ def stream_track(
     The end-to-end fps is the pipeline's sustained rate with every stage
     live; `drain_s` is the final flush of in-flight work (device compute
     and transfers that overlapped the loop).
+
+    chunk > 1 (requires roi_px > 0): track `chunk` frames per device
+    dispatch (Tracker.step_chunk_device) — C crops stack into one H2D and
+    one jitted scan, amortizing the per-dispatch submission cost that binds
+    this pipeline when the device step is fast (measured round 3: ~11 ms
+    host time per dispatch over this rig's relay capped eval5-roi at
+    44 fps). Steering granularity becomes C frames; ROI prediction already
+    extrapolates per frame, so the crops stay centered as long as
+    steer_lag-frame dead reckoning holds — same trade as chunk=1.
     """
     # Native ROI fast path: when the source is the native ingestion runtime
     # (io/native.py) AND ROI shipping is on, frames are never materialized —
@@ -344,7 +428,9 @@ def stream_track(
     drain_err: list[BaseException] = []
     hist: list[tuple[int, Any]] = []  # recent packed records (main appends)
     steer_stop = False
-    steer_margin = max(2, steer_lag // 2)
+    # Margin is in HIST ENTRIES (one per dispatch = `chunk` frames): aim the
+    # fetch ~steer_lag/2 frames behind the newest submission.
+    steer_margin = max(1, steer_lag // (2 * max(1, chunk)))
 
     def _drain_worker() -> None:
         while True:
@@ -369,13 +455,19 @@ def stream_track(
         # under H2D load); the claim counter keeps them on distinct frames
         # and observe() drops out-of-order arrivals.
         while not steer_stop:
+            # Oldest UNCLAIMED entry in the margin window. (Taking only
+            # recent[0] deadlocked: when the main loop blocks on the
+            # steer-lag flow control, hist freezes, and if recent[0] was
+            # already claimed no worker ever fetched anything — the two
+            # sides waited on each other forever.)
             recent = hist[-(steer_margin + 1) :]
-            item = recent[0] if recent else None
+            item = None
             with steer_lock:
-                if item is None or item[0] <= steer_claimed[0]:
-                    item = None
-                else:
-                    steer_claimed[0] = item[0]
+                for e in recent:
+                    if e[0] > steer_claimed[0]:
+                        item = e
+                        steer_claimed[0] = e[0]
+                        break
             if item is None:
                 time.sleep(0.001)
                 continue
@@ -385,11 +477,15 @@ def stream_track(
             except BaseException as e:
                 drain_err.append(e)
                 return
+            pos = np.asarray(out.position, np.float32)
+            vel = np.asarray(out.velocity, np.float32)
+            if pos.ndim == 2:  # chunked record: steer on its newest frame
+                pos, vel = pos[-1], vel[-1]
             shipper.observe(
                 {
                     "frame": idx,
-                    "position": out.position.tolist(),
-                    "velocity": out.velocity.tolist(),
+                    "position": pos.tolist(),
+                    "velocity": vel.tolist(),
                 }
             )
 
@@ -405,10 +501,87 @@ def stream_track(
         for th in steerers:
             th.start()
 
+    if chunk > 1 and shipper is None:
+        raise ValueError("stream chunking (chunk > 1) requires roi_px > 0")
+
     n = 0
     ingest_wait = submit = readback = 0.0
     t0 = time.perf_counter()
-    while True:
+    while chunk > 1:  # chunked ROI loop: C frames per H2D + dispatch
+        t = time.perf_counter()
+        if native_roi:
+            idxs, frames = [], None
+            for _ in range(chunk):
+                i = next(it, None)
+                if i is None:
+                    break
+                idxs.append(i)
+        else:
+            frames = []
+            while len(frames) < chunk:
+                f = next(it, None)
+                if f is None:
+                    break
+                frames.append(f)
+            idxs = list(range(n + 1, n + 1 + len(frames)))
+        ingest_wait += time.perf_counter() - t
+        if not idxs:
+            break
+        t = time.perf_counter()
+        if len(idxs) < chunk:
+            # Tail shorter than a chunk: per-frame path (separate compile),
+            # records read back synchronously — it's the end of the stream.
+            for j, idx in enumerate(idxs):
+                dev = (
+                    shipper.ship_native(source, idx)
+                    if native_roi
+                    else shipper.ship(frames[j])
+                )
+                out = tracker.step_device(dev)
+                if on_record is not None:
+                    out_h = jax.device_get(out)
+                    on_record(
+                        {
+                            "frame": idx,
+                            "position": np.asarray(out_h.position).tolist(),
+                            "box": np.asarray(out_h.box).tolist(),
+                            "velocity": np.asarray(out_h.velocity).tolist(),
+                            "conf": float(out_h.conf),
+                            "ess": float(out_h.ess),
+                            "lost": bool(out_h.lost),
+                        }
+                    )
+                n += 1
+            submit += time.perf_counter() - t
+            break
+        dev = (
+            shipper.ship_native_chunk(source, idxs)
+            if native_roi
+            else shipper.ship_chunk(frames, idxs)
+        )
+        out = tracker.step_chunk_device(dev)
+        if want_records:
+            if packer is None:
+                packer = OutputPacker(out)
+            packed = packer.pack(out)
+            hist.append((idxs[-1], packed))
+            if len(hist) > 64:
+                del hist[:-64]
+            if on_record is not None:
+                pending.append((idxs[-1], packed))
+        submit += time.perf_counter() - t
+        n += len(idxs)
+        if len(pending) * chunk > readback_window and not drain_err:
+            done, pending = pending, []
+            t = time.perf_counter()
+            drain_q.put(done)
+            readback += time.perf_counter() - t
+        if steer_lag > 0:
+            t = time.perf_counter()
+            while n - shipper.observed_idx > steer_lag and not drain_err:
+                time.sleep(0.0005)
+            readback += time.perf_counter() - t
+    while chunk == 1:
         t = time.perf_counter()
         frame = next(it, None)
         ingest_wait += time.perf_counter() - t
@@ -496,6 +669,22 @@ def _drain(pending, packer: OutputPacker, on_record) -> None:
         )
     for (idx, _), row in zip(pending, buf):
         out = packer.unpack(row)
+        pos = np.asarray(out.position)
+        if pos.ndim == 2:  # chunked row: C per-frame records, idx is LAST
+            c = pos.shape[0]
+            for j in range(c):
+                on_record(
+                    {
+                        "frame": idx - c + 1 + j,
+                        "position": pos[j].tolist(),
+                        "box": np.asarray(out.box)[j].tolist(),
+                        "velocity": np.asarray(out.velocity)[j].tolist(),
+                        "conf": float(np.asarray(out.conf)[j]),
+                        "ess": float(np.asarray(out.ess)[j]),
+                        "lost": bool(np.asarray(out.lost)[j]),
+                    }
+                )
+            continue
         on_record(
             {
                 "frame": idx,

@@ -147,6 +147,7 @@ class _Fns(NamedTuple):
     init: Any
     step: Any
     track_clip: Any
+    track_chunk: Any
 
 
 def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
@@ -588,7 +589,33 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         """
         return jax.lax.scan(lambda s, f: step_fn(prm, s, f), state, frames_u8)
 
-    return _Fns(init=init_fn, step=step_fn, track_clip=track_clip_fn)
+    # ---- chunked ROI step (streaming path, component B12) ------------------
+    def track_chunk_fn(prm, state: TrackerState, chunk: StreamFrame):
+        """lax.scan of step_fn over C stacked ROI views sharing one global
+        view: chunk.track is a FrameView with leading-C pixels [C, h, w, 3]
+        and origins [C, 2]; chunk.glob is ONE decimated whole-frame view.
+
+        This is what amortizes the streaming pipeline's per-dispatch cost
+        (host->device submission latency) over C frames: one H2D of the
+        stacked crops + one dispatch tracks C frames. Semantically identical
+        to C sequential step() calls on the individual StreamFrames (same
+        RNG counters) — tests assert this.
+        """
+        tv, gv = chunk.track, chunk.glob
+
+        def body(s, xs):
+            px, org = xs
+            sf = StreamFrame(track=FrameView(px, org, tv.stride), glob=gv)
+            return step_fn(prm, s, sf)
+
+        return jax.lax.scan(body, state, (tv.pixels, tv.origin))
+
+    return _Fns(
+        init=init_fn,
+        step=step_fn,
+        track_clip=track_clip_fn,
+        track_chunk=track_chunk_fn,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -750,6 +777,7 @@ class Tracker:
             self._init_jit = jax.jit(fns.init)
             self._step_jit = None  # built lazily once state sharding is known
             self._clip_jit = None
+            self._chunk_jit = None
             self._fns = fns
             self._don = don
         else:
@@ -759,6 +787,7 @@ class Tracker:
             self._init_jit = jax.jit(fns.init)
             self._step_jit = jax.jit(fns.step, donate_argnums=don)
             self._clip_jit = jax.jit(fns.track_clip, donate_argnums=don)
+            self._chunk_jit = jax.jit(fns.track_chunk, donate_argnums=don)
         self.state: TrackerState | None = None
 
     # -- lifecycle -----------------------------------------------------------
@@ -794,6 +823,12 @@ class Tracker:
                     out_shardings=(shardings, None),
                     donate_argnums=self._don,
                 )
+                self._chunk_jit = jax.jit(
+                    self._fns.track_chunk,
+                    in_shardings=(self._param_sh, shardings, rep),
+                    out_shardings=(shardings, None),
+                    donate_argnums=self._don,
+                )
         self.state = state
 
     def step(self, frame: np.ndarray) -> dict[str, Any]:
@@ -809,6 +844,16 @@ class Tracker:
         """Device-native step: no host sync (for streaming/bench loops)."""
         self.state, out = self._step_jit(self.vit_params, self.state, frame_dev)
         return out
+
+    def step_chunk_device(self, chunk: StreamFrame) -> TrackOutput:
+        """Track C ROI frames in ONE dispatch (streaming fast path).
+
+        chunk.track: FrameView with stacked pixels [C, h, w, 3] and origins
+        [C, 2]; chunk.glob: one shared decimated whole-frame view. Returns
+        TrackOutput with a leading C axis. See _Fns.track_chunk."""
+        assert self.state is not None, "call init() first"
+        self.state, outs = self._chunk_jit(self.vit_params, self.state, chunk)
+        return outs
 
     def track_clip_device(self, frames_dev: jax.Array) -> TrackOutput:
         """Track a staged clip [K, H, W, 3] in ONE device call (lax.scan).

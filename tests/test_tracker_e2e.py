@@ -211,6 +211,48 @@ def test_global_redetection_recovers_teleport():
     assert err_on[t_show + 4 :].mean() < 15.0, err_on[t_show + 4 :]
 
 
+def test_redetect_accept_ratio_recovers_teleport():
+    """tracker.redetect_accept_ratio: the feature-agnostic acceptance gate
+    (winner cosine vs the locked-state confidence EMA) recovers the teleport
+    where an absolute redetect_accept_conf ABOVE the feature set's cosine
+    scale vetoes every re-seed (round 3: trained features sat 68%-lost on
+    the flagship teleport because the 0.25 absolute gate tuned on random
+    init exceeded their locked confidence)."""
+    from vitparticlefiltertracker_tpu.io.synthetic import teleport_times
+
+    def run(accept_over):
+        cfg = Config.from_dict({
+            "model": {"variant": "vit-t16", "image_size": 64,
+                      "dtype": "float32", "use_flash_attention": False},
+            "filter": {"num_particles": 256, "lost_conf_threshold": 0.6},
+            "tracker": {"mode": "dense",
+                        "redetect_global_after": 3,
+                        "redetect_global_grid": 5,
+                        **accept_over},
+        })
+        src = open_source("synthetic:teleport", 40, (192, 192))
+        frames = list(src)
+        tr = Tracker(cfg)
+        tr.init(frames[0], src.init_bbox)
+        recs = [tr.step(f) for f in frames[1:]]
+        pos = np.array([r["position"] for r in recs])
+        return np.linalg.norm(pos - src.truth[1:], axis=1)
+
+    _, t_show = teleport_times(40)
+    # An absolute gate above this feature set's cosine scale vetoes every
+    # re-seed — the cloud never recovers (the failure mode the ratio fixes).
+    err_abs = run({"redetect_accept_conf": 0.99})
+    assert err_abs[t_show + 4 :].mean() > 50.0, err_abs[t_show + 4 :]
+    # The relative gate accepts and re-locks. 0.35: the global scan's
+    # winning cosine sits well below LOCKED confidence even for the true
+    # target (tile windows sample at coarser scale), so the ratio is
+    # calibrated to the scan channel — 0.35 x locked EMA ~= the absolute
+    # 0.3 gate that works for random init at this geometry, and scales
+    # with the feature set where the absolute gate does not.
+    err_rel = run({"redetect_accept_ratio": 0.35})
+    assert err_rel[t_show + 4 :].mean() < 15.0, err_rel[t_show + 4 :]
+
+
 def test_relative_lost_gate():
     """filter.lost_conf_ratio: the feature-agnostic lost gate (confidence
     vs its running locked-state EMA) must trip on disappearance and clear
@@ -486,10 +528,14 @@ def test_lost_output_coasts_no_jumps():
     pos = np.array([r["position"] for r in recs])
     box = np.max(np.array([r["box"] for r in recs]), axis=None)
     deltas = np.linalg.norm(np.diff(pos, axis=0), axis=1)
-    # Every frame-to-frame move while lost (and into the lost stretch)
-    # stays under one box size.
+    # Every frame-to-frame move INTO and DURING the lost stretch stays
+    # under one box size. The exit transition (lost -> re-locked) is
+    # exempt: re-acquisition legitimately snaps from the coasted position
+    # back to the re-found target in one frame — rate-limiting that snap
+    # would only delay convergence. What this test pins is the round-2
+    # failure mode: 49-70 px noise-chasing excursions WHILE lost.
     for i in range(len(deltas)):
-        if lost[i] or lost[i + 1]:
+        if lost[i + 1]:
             assert deltas[i] <= box + 1e-3, (i, deltas[i], box)
 
 

@@ -61,17 +61,21 @@ CLIP_OVERRIDES = {
     # confidence and mis-fired) AND global re-detection, so a swept-away
     # lock recovers even when the target re-emerges outside the frozen
     # window.
+    # Acceptance gates are RELATIVE (redetect_accept_ratio vs the locked
+    # confidence EMA + the z margin) — round 3 measured trained features
+    # stuck 68%-lost on teleport because the absolute 0.25 cosine gate the
+    # rows previously used sits above their whole locked-confidence scale.
     "occlusion": {
         "filter.lost_conf_ratio": "0.55",
         "tracker.redetect_global_after": "4",
-        "tracker.redetect_accept_conf": "0.25",
+        "tracker.redetect_accept_ratio": "0.35",
         "tracker.redetect_accept_z": "3.0",
     },
     "surveillance": {"filter.motion.sigma_pos": "4.0"},
     "teleport": {
         "filter.lost_conf_ratio": "0.55",
         "tracker.redetect_global_after": "3",
-        "tracker.redetect_accept_conf": "0.25",
+        "tracker.redetect_accept_ratio": "0.35",
         "tracker.redetect_accept_z": "3.0",
     },
 }

@@ -99,7 +99,13 @@ class FilterConfig:
     #   "cos"  — logits = temp * cosine (classic fixed-temperature form).
     likelihood: str = "zcos"
     likelihood_temp: float = 20.0  # "cos": logits = temp * cosine
-    likelihood_zscale: float = 3.0  # "zcos": log-weight spread in std units
+    # "zcos": log-weight spread in std units. Default 9 (was 3 through round
+    # 2): the round-3 TPU sweep (docs/quality_runs.jsonl, random-z9 rows)
+    # measured z=9 better on EVERY flagship family — e.g. moving-square
+    # 2.2→1.3 px, photometric 2.2→1.4, rotation 2.3→1.5, teleport →0.7 —
+    # because a sharper posterior sits closer to the true peak while the
+    # z-normalization still pins entropy across feature sets.
+    likelihood_zscale: float = 9.0
     ess_threshold: float = 0.5  # resample when ESS < threshold * N
     init_sigma_pos: float = 2.0  # initial cloud spread around the bbox
     init_sigma_vel: float = 1.0
@@ -201,6 +207,14 @@ class TrackerConfig:
     redetect_global_grid: int = 7
     redetect_accept_conf: float = 0.0
     redetect_accept_z: float = 0.0
+    # Relative acceptance gate: the winner must also clear this fraction of
+    # the LOCKED-STATE confidence EMA (state.conf_ema, the lost gate's
+    # reference). Like filter.lost_conf_ratio, this transfers across weight
+    # sets where an absolute redetect_accept_conf does not — round 3
+    # measured trained features stuck 68%-lost on the teleport clip because
+    # their locked cosine sits below the 0.25 absolute gate tuned on random
+    # init. Skipped while the EMA is unseeded (never locked). 0 disables.
+    redetect_accept_ratio: float = 0.0
     estimate: str = "mean"  # "mean" | "mode" (highest-weight particle)
 
     def resolve(self) -> "TrackerConfig":
@@ -293,6 +307,16 @@ class TrainConfig:
     tau: float = 0.07  # InfoNCE temperature on the cosine logits
     num_random_negatives: int = 8  # random window boxes added to the ring
     template_jitter: float = 0.05  # template-box jitter, units of box size
+    # Closed-loop posterior-mean loss (training/objective.py): weight a
+    # particle-like candidate cloud with the tracker's own zcos softmax and
+    # penalize E_w[||x - truth||^2]. Ranking losses don't see the off-peak
+    # tails that drag the filter's posterior MEAN (round-3 diagnosis:
+    # 0.94-accuracy checkpoints tracked 2x worse than random init); this
+    # term trains the exact estimator the eval measures. 0 disables.
+    cloud_weight: float = 1.0
+    cloud_particles: int = 64  # cloud candidates per pair
+    cloud_sigma: float = 8.0  # cloud spread around truth (px)
+    cloud_zscale: float = 9.0  # zcos sharpness (match filter.likelihood_zscale)
     seed: int = 0
     checkpoint_out: str = "checkpoints/vit_trained.npz"
     # Storage dtype for the saved checkpoint: "float32" keeps the AdamW

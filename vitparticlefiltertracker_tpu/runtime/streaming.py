@@ -438,7 +438,7 @@ def stream_track(
             if item is None:
                 return
             try:
-                _drain(item, packer, on_record)
+                _drain(item, packer, on_record, chunk)
             except BaseException as e:  # surfaced after the loop
                 drain_err.append(e)
                 return
@@ -479,7 +479,7 @@ def stream_track(
                 return
             pos = np.asarray(out.position, np.float32)
             vel = np.asarray(out.velocity, np.float32)
-            if pos.ndim == 2:  # chunked record: steer on its newest frame
+            if chunk > 1:  # chunked record: steer on its newest frame
                 pos, vel = pos[-1], vel[-1]
             shipper.observe(
                 {
@@ -652,7 +652,7 @@ def stream_track(
     }
 
 
-def _drain(pending, packer: OutputPacker, on_record) -> None:
+def _drain(pending, packer: OutputPacker, on_record, chunk: int = 1) -> None:
     """Read back a window of packed records in one D2H transfer and emit."""
     import os
 
@@ -670,7 +670,10 @@ def _drain(pending, packer: OutputPacker, on_record) -> None:
     for (idx, _), row in zip(pending, buf):
         out = packer.unpack(row)
         pos = np.asarray(out.position)
-        if pos.ndim == 2:  # chunked row: C per-frame records, idx is LAST
+        # Explicit chunk flag, NOT ndim: banked multistream records are ALSO
+        # 2-D ([K streams, 2]) and must pass through whole (cli.py fans them
+        # out per stream).
+        if chunk > 1:  # chunked row: C per-frame records, idx is LAST
             c = pos.shape[0]
             for j in range(c):
                 on_record(

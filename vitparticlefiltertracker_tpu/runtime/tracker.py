@@ -493,6 +493,14 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
                 & (best_cos >= t.redetect_accept_conf)
                 & (best_z >= t.redetect_accept_z)
             )
+            if t.redetect_accept_ratio > 0:
+                # Feature-agnostic absolute-level gate: fraction of the
+                # locked-state confidence EMA (the lost gate's reference),
+                # skipped while unseeded. See config.redetect_accept_ratio.
+                accept = accept & (
+                    (state.conf_ema <= 0)
+                    | (best_cos >= t.redetect_accept_ratio * state.conf_ema)
+                )
             # Re-seed: fresh cloud spread over the winning grid cell, zero
             # velocity, uniform weights. Distinct RNG stream from the step
             # noise: split(k, n)[i] == fold_in(k, i) in threefry, so the fold

@@ -54,9 +54,13 @@ def pair_loss(
     search_scale: float,
     num_random: int,
     template_jitter: float,
+    cloud_weight: float = 0.0,
+    cloud_particles: int = 64,
+    cloud_sigma: float = 8.0,
+    cloud_zscale: float = 9.0,
 ) -> tuple[jax.Array, dict]:
     """One sample's InfoNCE loss + metrics; vmapped over the batch."""
-    k_jit, k_rand = jax.random.split(key)
+    k_jit, k_rand, k_cloud = jax.random.split(key, 3)
     # Window side exactly as the tracker computes it (runtime/tracker.py:
     # _window_side), floored so small targets still see their motion range.
     side = jnp.maximum(
@@ -76,21 +80,55 @@ def pair_loss(
     rand = p0[None, :] + side * jax.random.uniform(
         k_rand, (num_random, 2), minval=-0.4, maxval=0.4
     )
-    cand = jnp.concatenate([p1[None], p1[None] + offs, rand], axis=0)  # [M, 2]
+    # Closed-loop cloud candidates (see below): a particle-filter-like cloud
+    # around the truth, scored in the same embedder call.
+    n_cloud = cloud_particles if cloud_weight > 0.0 else 0
+    cloud = p1[None, :] + cloud_sigma * jax.random.normal(k_cloud, (n_cloud, 2))
+    cand = jnp.concatenate(
+        [p1[None], p1[None] + offs, rand, cloud], axis=0
+    )  # [M, 2]
     pool1 = make_dense_embedder(prm, frame1, p0, side, es)
     emb1, valid = pool1(cand, jnp.broadcast_to(wh, cand.shape))
     cos = _cos_to_template(emb1, tmpl)  # [M]
+    n_rank = 1 + offs.shape[0] + num_random
 
-    logits = cos / tau
+    logits = cos[:n_rank] / tau
     # Invalid (out-of-window) negatives drop out of the softmax; the true
     # box is kept regardless (p1 is always inside by construction).
-    logits = jnp.where(valid | (jnp.arange(cand.shape[0]) == 0), logits, -1e9)
+    logits = jnp.where(
+        valid[:n_rank] | (jnp.arange(n_rank) == 0), logits, -1e9
+    )
     loss = -jax.nn.log_softmax(logits)[0]
     metrics = {
         "acc": (jnp.argmax(logits) == 0).astype(jnp.float32),
         "cos_pos": cos[0],
-        "cos_neg_max": jnp.max(jnp.where(valid, cos, -1.0)[1:]),
+        "cos_neg_max": jnp.max(jnp.where(valid[:n_rank], cos[:n_rank], -1.0)[1:]),
     }
+
+    if n_cloud:
+        # Closed-loop posterior-mean loss (round-3 diagnosis): the round-2
+        # checkpoint RANKED candidates at 0.94 accuracy yet tracked ~2x
+        # worse than random init — its cosine field had a sharp true peak
+        # but heavier off-peak tails, and the filter's POSTERIOR MEAN is
+        # dragged by tails no ranking loss sees. So weight a particle-like
+        # cloud exactly as the tracker does (zcos: softmax of
+        # zscale * zscore-over-cloud, ops/likelihood.py) and penalize the
+        # posterior expected squared error E_w[||x - p1||^2] — gradient
+        # pushes cosine DOWN on far candidates proportional to distance,
+        # i.e. directly shapes the estimator the eval measures.
+        c_cos = cos[n_rank:]
+        c_valid = valid[n_rank:]
+        nv = jnp.maximum(jnp.sum(c_valid), 1)
+        mu = jnp.sum(jnp.where(c_valid, c_cos, 0.0)) / nv
+        var = jnp.sum(jnp.where(c_valid, (c_cos - mu) ** 2, 0.0)) / nv
+        z = (c_cos - mu) * jax.lax.rsqrt(var + 1e-6)
+        w = jax.nn.softmax(jnp.where(c_valid, cloud_zscale * z, -1e9))
+        err2 = jnp.sum((cloud - p1[None, :]) ** 2, axis=-1)  # [n_cloud] px^2
+        cloud_err2 = jnp.sum(w * err2)
+        # Normalize by the cloud's prior spread so the term is O(1) and
+        # box-size free: E_prior[err^2] = 2 * cloud_sigma^2.
+        loss = loss + cloud_weight * cloud_err2 / (2.0 * cloud_sigma**2)
+        metrics["cloud_px"] = jnp.sqrt(cloud_err2)
     return loss, metrics
 
 

@@ -90,6 +90,10 @@ def build_train_step(cfg, mesh=None):
         search_scale=cfg.tracker.search_scale,
         num_random=tr.num_random_negatives,
         template_jitter=tr.template_jitter,
+        cloud_weight=tr.cloud_weight,
+        cloud_particles=tr.cloud_particles,
+        cloud_sigma=tr.cloud_sigma,
+        cloud_zscale=tr.cloud_zscale,
     )
     if mesh is not None and tr.batch_size % mesh.shape["data"] != 0:
         raise ValueError(
@@ -188,6 +192,13 @@ def train_features(cfg, log=None) -> dict:
         return pm
 
     params, opt_state = init_jit()
+    if probe is not None:
+        # Step-0 probe: the random-init baseline under IDENTICAL probe
+        # settings — the apples-to-apples reference every later probe is
+        # judged against. Logged only; NOT eligible for checkpoint
+        # selection ("trained" must mean trained).
+        log(json.dumps({k: round(v, 2) for k, v in probe(params).items()}
+                       | {"step": 0}))
     if tr.metrics_out:
         os.makedirs(os.path.dirname(tr.metrics_out) or ".", exist_ok=True)
     metrics_f = open(tr.metrics_out, "w") if tr.metrics_out else None

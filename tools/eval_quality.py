@@ -184,6 +184,12 @@ def render_quality_md() -> None:
     # Latest row wins per (geometry, clip, weights, mp4, backend).
     latest = {}
     for r in rows:
+        # Sweep-diagnostic labels ("<weights>-z9", "...-mode" etc., from
+        # --set runs) stay in quality_runs.jsonl as evidence but are not
+        # table rows: the canonical `random`/`trained` rows already run at
+        # the shipping config the sweep selected.
+        if "-z" in r["weights"] or "-mode" in r["weights"]:
+            continue
         latest[(r["geometry"], r["clip"], r["weights"], r["mp4"], r["backend"])] = r
     md = os.path.join(REPO, "docs", "QUALITY.md")
     with open(md, "w") as f:
@@ -214,32 +220,48 @@ def render_quality_md() -> None:
             )
         f.write(
             "\nNotes:\n"
+            "- `filter.likelihood_zscale: 9` is the round-3 default — a "
+            "flagship-wide sweep (quality_runs.jsonl, `random-z9*` rows) "
+            "measured it better than the old 3 on EVERY family "
+            "(moving-square 2.2→1.3 px, photometric 2.2→1.4, rotation "
+            "2.3→1.5, teleport →0.7); `tracker.estimate: mode` added "
+            "nothing on top.\n"
             "- The needle clip is the aperture-problem case (position along "
-            "a thin homogeneous target). Two compounding answers: the "
-            "structured K×K cell template (tracker.appearance: cells) and "
-            "trained features.\n"
-            "- occlusion sweeps a bar over the target; the relative lost "
-            "gate (filter.lost_conf_ratio) freezes template updates and "
-            "triggers re-detection. One shared gate config produces these "
-            "rows for BOTH weight sets — the absolute threshold it replaced "
-            "had to be re-tuned per feature set.\n"
+            "a thin homogeneous target), answered by the structured K×K "
+            "cell template (tracker.appearance: cells).\n"
+            "- occlusion sweeps a bar over the target; teleport re-enters "
+            "in a different quadrant. Both run the shared robustness stack "
+            "— relative lost gate (filter.lost_conf_ratio) + global "
+            "re-detection with RELATIVE acceptance "
+            "(tracker.redetect_accept_ratio + redetect_accept_z). Every "
+            "gate is a fraction/z-score, not an absolute cosine: round 3 "
+            "measured trained features 68%-lost on teleport under the "
+            "absolute 0.25 acceptance gate that random init tracks with, "
+            "because their whole locked-confidence scale sits below it.\n"
             "- eval3 = ViT-L/16, 4k particles, 1080p needle; eval4 = 8 banks "
             "× 1k particles, 720p multi-object (per-bank errors pooled) — "
             "the BASELINE.md geometries, not stand-ins.\n"
-            "- Random-init vs trained, honestly: on these procedural clips "
-            "a seeded random ViT + structured template + z-normed cosine is "
-            "matched filtering in a random feature basis — near-optimal for "
-            "rigid textured targets under noise, so trained features do not "
-            "beat it on pixel RMSE (they track every family within a few "
-            "px). What training buys here is measured elsewhere in this "
-            "table and the design: photometric/rotation invariance bands "
-            "wider than any fixed template (training/data.py augmentation), "
-            "a confidence scale the relative lost gate transfers across "
-            "checkpoints, and an importer (tools/import_vit.py, "
-            "torch-parity-tested) for real pretrained backbones on natural "
-            "video — this rig has no network egress, so in-repo synthetic "
-            "training is the strongest learnable-features proof available "
-            "on it.\n"
+            "- Random-init vs trained, honestly: random init WINS on these "
+            "procedural clips, and round 3 established why it must. The "
+            "z-normed likelihood consumes only the cosine LANDSCAPE over "
+            "the window — any appearance change that degrades the target "
+            "match uniformly (rotation, exposure, even deformation) lowers "
+            "absolute cosine but leaves the peak AT the target, so seeded "
+            "random projections (a matched filter in a random basis) stay "
+            "near-optimal; the template EMA absorbs the drift the landscape "
+            "can't. The training subsystem closed every diagnosable gap — "
+            "matched train/eval geometry, eval-in-the-loop checkpoint "
+            "selection against the real tracker (training/probe.py), a "
+            "closed-loop posterior-mean loss (train.cloud_weight) — and "
+            "the step-0 probe logs random init at 1.46 px under identical "
+            "settings while every trained checkpoint probes worse: on this "
+            "domain there is nothing left to learn. What training provides "
+            "is the machinery, proven correct end-to-end, for targets that "
+            "are NOT procedural rigid patches: the augmentation bands "
+            "(training/data.py), feature-agnostic gates that transfer "
+            "across checkpoints, and the torch-parity-tested importer "
+            "(tools/import_vit.py) for real pretrained backbones on "
+            "natural video (this rig has no network egress).\n"
         )
     print(f"wrote {md}", file=sys.stderr)
 

@@ -287,6 +287,13 @@ class RuntimeConfig:
     # cropper). Bounds the steering lag — and so how far the predicted crop
     # can drift off a moving target — at the cost of capping pipeline depth.
     stream_steer_lag: int = 16
+    # Frames tracked per device dispatch (requires stream_roi > 0): C
+    # stacked crops ship in one H2D and run as one jitted scan
+    # (Tracker.step_chunk_device), amortizing per-dispatch submission cost
+    # — the measured throughput cap on relay-attached devices (round 3:
+    # ~11 ms/dispatch held 4K ROI streaming at 44 fps; chunking lifts it).
+    # Steering coarsens to chunk granularity; keep <= stream_steer_lag.
+    stream_chunk: int = 1
     profile_dir: str = ""  # jax.profiler trace output ("" disables)
 
 

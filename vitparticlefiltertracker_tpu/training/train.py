@@ -227,17 +227,25 @@ def train_features(cfg, log=None) -> dict:
     finally:
         if metrics_f:
             metrics_f.close()
-    if best["params"] is not None:
-        log(
-            f"checkpoint selection: step {best['step']} "
-            f"(probe_rmse {best['rmse']:.2f}px) of {tr.steps}"
-        )
-        params = best["params"]
-    if tr.checkpoint_out:
-        os.makedirs(os.path.dirname(tr.checkpoint_out) or ".", exist_ok=True)
-        to_save = jax.device_get(params)
-        if tr.checkpoint_dtype == "bfloat16":
-            to_save = jax.tree.map(lambda x: x.astype(jnp.bfloat16), to_save)
-        save_params(tr.checkpoint_out, to_save)
-        log(f"saved {tr.checkpoint_out}")
+        # Save inside finally: a killed/interrupted run (this rig's relay
+        # stalls for 10+ min at a time and long runs ride a `timeout`)
+        # still keeps its probe-selected best checkpoint instead of
+        # losing the whole run. The device params may be unreachable when
+        # the relay is wedged — but best["params"] is already host-side
+        # (device_get at probe time), so the save never touches the device.
+        if best["params"] is not None:
+            log(
+                f"checkpoint selection: step {best['step']} "
+                f"(probe_rmse {best['rmse']:.2f}px) of {tr.steps}"
+            )
+            params = best["params"]
+        elif tr.checkpoint_out:
+            params = jax.device_get(params)  # last step (no probe configured)
+        if tr.checkpoint_out:
+            os.makedirs(os.path.dirname(tr.checkpoint_out) or ".", exist_ok=True)
+            to_save = jax.device_get(params)
+            if tr.checkpoint_dtype == "bfloat16":
+                to_save = jax.tree.map(lambda x: x.astype(jnp.bfloat16), to_save)
+            save_params(tr.checkpoint_out, to_save)
+            log(f"saved {tr.checkpoint_out}")
     return params

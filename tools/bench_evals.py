@@ -188,16 +188,21 @@ def render_md(primary_backend: str) -> None:
                 "rig's relay (measured `H2D MB/s`, swings 2-3x with "
                 "congestion); on a co-located host the same pipeline rides "
                 "PCIe/DMA.\n\n"
-                "| variant | model/particles | frame | fps (e2e) | shipped "
-                "MB | track RMSE px | ingest wait s | submit s | readback "
-                "s | H2D MB/s |\n"
-                "|---|---|---|---|---|---|---|---|---|---|\n"
+                "`chunk` = frames per device dispatch (`-c4` rows: "
+                "stacked-crop H2D + one jitted scan per 4 frames, "
+                "amortizing the ~11 ms/dispatch relay submission cost "
+                "that binds the chunk-1 ROI rows).\n\n"
+                "| variant | model/particles | frame | chunk | fps (e2e) "
+                "| shipped MB | track RMSE px | ingest wait s | submit s "
+                "| readback s | H2D MB/s |\n"
+                "|---|---|---|---|---|---|---|---|---|---|---|\n"
             )
             for r in stream:
                 rmse = r.get("track_rmse_px", "")
                 f.write(
                     f"| {r['variant']} | {r['model']}/{r['particles']} "
-                    f"| {r['frame'][0]}x{r['frame'][1]} | {r['fps']} "
+                    f"| {r['frame'][0]}x{r['frame'][1]} "
+                    f"| {r.get('chunk', 1)} | {r['fps']} "
                     f"| {r.get('shipped_MB_per_frame', r['frame_MB'])} "
                     f"| {rmse} | {r['ingest_wait_s']} | {r['submit_s']} "
                     f"| {r.get('readback_s', '')} | {r['h2d_MBps']} |\n"

@@ -3,6 +3,7 @@ trackers build their mesh from runtime.mesh_* themselves, and training goes
 data-parallel over all visible devices automatically."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -40,6 +41,47 @@ def test_single_tracker_particle_sharded_matches_unsharded():
 
     a = run()
     b = run(mesh_particles=8)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+@needs8
+def test_single_tracker_sharded_chunk_step():
+    """The chunked streaming scan (Tracker.step_chunk_device) compiles and
+    runs under a particle-sharded mesh — `vpt stream` with both
+    runtime.mesh_particles and runtime.stream_chunk set."""
+    from vitparticlefiltertracker_tpu.ops.image import FrameView, StreamFrame
+
+    src = open_source("synthetic:moving-square", 5, (224, 224), seed=0)
+    arr = np.stack(list(src))
+
+    def run(**runtime):
+        tr = Tracker(_cfg(**runtime))
+        tr.init(arr[0], src.init_bbox)
+        glob = FrameView(
+            pixels=jnp.asarray(arr[1][::4, ::4].astype(np.float32)),
+            origin=jnp.zeros(2, jnp.float32),
+            stride=4.0,
+        )
+        ctr = src.truth[1:].mean(axis=0)
+        ox = int(np.clip(ctr[0] - 80, 0, 224 - 160))
+        oy = int(np.clip(ctr[1] - 80, 0, 224 - 160))
+        chunk = StreamFrame(
+            track=FrameView(
+                pixels=jnp.asarray(
+                    arr[1:, oy : oy + 160, ox : ox + 160].astype(np.float32)
+                ),
+                origin=jnp.asarray(
+                    np.tile([ox, oy], (4, 1)).astype(np.float32)
+                ),
+                stride=1.0,
+            ),
+            glob=glob,
+        )
+        return np.asarray(tr.step_chunk_device(chunk).position)
+
+    a = run()
+    b = run(mesh_particles=8)
+    assert a.shape == (4, 2)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
 
 

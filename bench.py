@@ -49,9 +49,15 @@ def main() -> int:
         "p50_ms": round(result["p50_ms"], 3),
         "p99_ms": round(result["p99_ms"], 3),
         "rtt_ms": round(result["rtt_ms"], 3),
-        "p50_device_ms": round(result["p50_device_ms"], 3),
+        # NaN = the fallback estimator was swamped by timing noise (see
+        # runtime/benchmark.py); emit null, never a degenerate 0.0.
+        "p50_device_ms": (
+            round(result["p50_device_ms"], 3)
+            if result["p50_device_ms"] == result["p50_device_ms"]
+            else None
+        ),
         "p50_device_source": result["p50_device_source"],
-        "latency_target_met": result["p50_device_ms"] < 16.0,
+        "latency_target_met": bool(result["p50_device_ms"] < 16.0),
         "backend": result["config"]["backend"],
     }
     print(json.dumps(out))

@@ -131,6 +131,16 @@ def run_variant(name: str) -> dict:
         src = native_io.NativeSyntheticSource(n_frames, h, w, seed=0)
         source_kind = "native-synthetic (C++ ring)"
     else:
+        if v.get("roi", {}).get("out"):
+            # Resampled-view ROI needs the native reader (vpt_read_view);
+            # the python fallback has no read_rect/read_view and would
+            # crash in warmup. Skip with a note instead.
+            print(
+                f"skip {name}: roi_out requires the native ingest library "
+                "(build native/ first)",
+                file=sys.stderr,
+            )
+            return {}
         src = open_source("synthetic:moving-square", n_frames, (h, w))
         source_kind = "python-synthetic (fallback)"
 
@@ -229,7 +239,7 @@ def main() -> int:
                     choices=sorted(VARIANTS))
     args = ap.parse_args()
     enable_compilation_cache()
-    rows = [run_variant(v) for v in args.variants]
+    rows = [r for r in (run_variant(v) for v in args.variants) if r]
     out = os.path.join(REPO, "docs", "bench_stream_e2e.jsonl")
     # Merge by variant so a partial re-run doesn't drop other rows.
     merged: dict[str, dict] = {}

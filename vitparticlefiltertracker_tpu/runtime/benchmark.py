@@ -171,8 +171,16 @@ def run_benchmark(
         n_diff = max(8, latency_frames)
         _drain(2)  # touch the path once more before timing
         t_n, t_2n = _drain(n_diff), _drain(2 * n_diff)
-        dev_ms = max((t_2n - t_n) / n_diff * 1e3, 0.0)
+        dev_ms = (t_2n - t_n) / n_diff * 1e3
         dev_src = "two_length_differencing"
+        if dev_ms <= 0.0:
+            # Negative slope = the measurement was swamped by timing noise
+            # (relay stall landing in one drain). A clamped 0.0 would read
+            # as "target met" downstream — flag it invalid instead (the
+            # round-2 verdict called out exactly this degenerate artifact
+            # for the old p50-RTT estimator).
+            dev_ms = float("nan")
+            dev_src = "two_length_differencing_invalid"
     _log(f"device step span ~{dev_ms:.3f} ms ({dev_src})", verbose)
 
     # Host<->device round-trip cost of one readback (to decompose latency:

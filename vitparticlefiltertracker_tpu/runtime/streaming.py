@@ -119,6 +119,18 @@ class RoiShipper:
         self._last_vel = np.zeros(2, np.float32)
         self._last_idx = 0
         self._idx = 0
+        # Two steer workers call observe() concurrently with main-thread
+        # prediction reads: snapshot/update the (pos, vel, idx) triple under
+        # a lock so an older record can never interleave-overwrite a newer
+        # one and predictions never mix fields from two records.
+        self._obs_lock = threading.Lock()
+
+    def _predict(self, idx: int) -> np.ndarray:
+        """Dead-reckoned target center at frame `idx` from the newest
+        steered observation (consistent snapshot)."""
+        with self._obs_lock:
+            pos, vel, last = self._last_pos, self._last_vel, self._last_idx
+        return pos + vel * max(0, idx - last)
 
     @property
     def shipped_bytes_per_frame(self) -> float:
@@ -127,10 +139,15 @@ class RoiShipper:
         gh, gw = -(-self._h // self._gs), -(-self._w // self._gs)
         return roi + gh * gw * 3 / self._glob_every
 
-    def ship(self, frame: np.ndarray) -> StreamFrame:
-        idx = self._idx
-        self._idx += 1
-        pred = self._last_pos + self._last_vel * max(0, idx - self._last_idx)
+    def ship(self, frame: np.ndarray, idx: int | None = None) -> StreamFrame:
+        """Ship one frame's ROI. `idx` is the RECORD frame index (what
+        observe() will later see for this frame); without it an internal
+        counter is used — callers that number records should pass it, or
+        dead reckoning runs one frame short."""
+        if idx is None:
+            idx = self._idx
+        self._idx = idx + 1
+        pred = self._predict(idx)
         span, s = self._span, self._s
         ox = int(np.clip(round(pred[0] - span / 2), 0, self._w - span))
         oy = int(np.clip(round(pred[1] - span / 2), 0, self._h - span))
@@ -158,7 +175,7 @@ class RoiShipper:
         difference between touching ~0.3 MB and 24.9 MB per frame on the
         one-core host."""
         self._idx = frame_idx  # keep glob cadence aligned with real indices
-        pred = self._last_pos + self._last_vel * max(0, frame_idx - self._last_idx)
+        pred = self._predict(frame_idx)
         span, s = self._span, self._s
         ox = int(np.clip(round(pred[0] - span / 2), 0, self._w - span))
         oy = int(np.clip(round(pred[1] - span / 2), 0, self._h - span))
@@ -200,9 +217,7 @@ class RoiShipper:
         pxs, orgs = [], []
         span, s = self._span, self._s
         for idx in idxs:
-            pred = self._last_pos + self._last_vel * max(
-                0, idx - self._last_idx
-            )
+            pred = self._predict(idx)
             ox = int(np.clip(round(pred[0] - span / 2), 0, self._w - span))
             oy = int(np.clip(round(pred[1] - span / 2), 0, self._h - span))
             px, org, sv = read_one(idx, ox, oy)
@@ -268,12 +283,17 @@ class RoiShipper:
     def observe(self, rec: dict) -> None:
         """Feed a read-back record (trails the stream) to steer the ROI.
         Out-of-order records (concurrent steer fetchers) are ignored —
-        only the newest estimate steers."""
-        if int(rec["frame"]) < self._last_idx:
-            return
-        self._last_pos = np.asarray(rec["position"], np.float32)
-        self._last_vel = np.asarray(rec.get("velocity", (0.0, 0.0)), np.float32)
-        self._last_idx = int(rec["frame"])
+        only the newest estimate steers. Check-and-set is atomic under
+        _obs_lock: without it a stale record racing a newer one could
+        pass the staleness check and then overwrite the newer fields."""
+        with self._obs_lock:
+            if int(rec["frame"]) < self._last_idx:
+                return
+            self._last_pos = np.asarray(rec["position"], np.float32)
+            self._last_vel = np.asarray(
+                rec.get("velocity", (0.0, 0.0)), np.float32
+            )
+            self._last_idx = int(rec["frame"])
 
     @property
     def observed_idx(self) -> int:
@@ -433,15 +453,19 @@ def stream_track(
     steer_margin = max(1, steer_lag // (2 * max(1, chunk)))
 
     def _drain_worker() -> None:
+        # Runs until the None sentinel EVEN after an error: a dead consumer
+        # with windows still queued (maxsize 2) would deadlock the producer's
+        # drain_q.put / put(None) — so on error, keep consuming and discard.
         while True:
             item = drain_q.get()
             if item is None:
                 return
+            if drain_err:
+                continue
             try:
                 _drain(item, packer, on_record, chunk)
             except BaseException as e:  # surfaced after the loop
                 drain_err.append(e)
-                return
 
     steer_lock = threading.Lock()
     steer_claimed = [0]
@@ -489,6 +513,9 @@ def stream_track(
                 }
             )
 
+    if chunk > 1 and shipper is None:
+        raise ValueError("stream chunking (chunk > 1) requires roi_px > 0")
+
     drainer = None
     steerers: list[threading.Thread] = []
     if on_record is not None:
@@ -501,138 +528,163 @@ def stream_track(
         for th in steerers:
             th.start()
 
-    if chunk > 1 and shipper is None:
-        raise ValueError("stream chunking (chunk > 1) requires roi_px > 0")
+    def _finish_drainer() -> None:
+        """Flush queued windows and join the drainer (idempotent). Safe
+        even after a drain error: the worker discards items until the
+        None sentinel, so the puts can never deadlock on the bounded
+        queue."""
+        nonlocal drainer, pending
+        if drainer is None:
+            return
+        if pending and not drain_err:
+            drain_q.put(pending)
+        pending = []
+        drain_q.put(None)
+        drainer.join()
+        drainer = None
 
     n = 0
     ingest_wait = submit = readback = 0.0
     t0 = time.perf_counter()
-    while chunk > 1:  # chunked ROI loop: C frames per H2D + dispatch
-        t = time.perf_counter()
-        if native_roi:
-            idxs, frames = [], None
-            for _ in range(chunk):
-                i = next(it, None)
-                if i is None:
-                    break
-                idxs.append(i)
-        else:
-            frames = []
-            while len(frames) < chunk:
-                f = next(it, None)
-                if f is None:
-                    break
-                frames.append(f)
-            idxs = list(range(n + 1, n + 1 + len(frames)))
-        ingest_wait += time.perf_counter() - t
-        if not idxs:
-            break
-        t = time.perf_counter()
-        if len(idxs) < chunk:
-            # Tail shorter than a chunk: per-frame path (separate compile),
-            # records read back synchronously — it's the end of the stream.
-            for j, idx in enumerate(idxs):
-                dev = (
-                    shipper.ship_native(source, idx)
-                    if native_roi
-                    else shipper.ship(frames[j])
-                )
-                out = tracker.step_device(dev)
-                if on_record is not None:
-                    out_h = jax.device_get(out)
-                    on_record(
-                        {
-                            "frame": idx,
-                            "position": np.asarray(out_h.position).tolist(),
-                            "box": np.asarray(out_h.box).tolist(),
-                            "velocity": np.asarray(out_h.velocity).tolist(),
-                            "conf": float(out_h.conf),
-                            "ess": float(out_h.ess),
-                            "lost": bool(out_h.lost),
-                        }
+    t = t0
+    try:
+        while chunk > 1:  # chunked ROI loop: C frames per H2D + dispatch
+            t = time.perf_counter()
+            if native_roi:
+                idxs, frames = [], None
+                for _ in range(chunk):
+                    i = next(it, None)
+                    if i is None:
+                        break
+                    idxs.append(i)
+            else:
+                frames = []
+                while len(frames) < chunk:
+                    f = next(it, None)
+                    if f is None:
+                        break
+                    frames.append(f)
+                idxs = list(range(n + 1, n + 1 + len(frames)))
+            ingest_wait += time.perf_counter() - t
+            if not idxs:
+                break
+            t = time.perf_counter()
+            if len(idxs) < chunk:
+                # Tail shorter than a chunk: per-frame path (separate compile),
+                # records read back synchronously — it's the end of the
+                # stream. Flush queued windows + join the drainer FIRST so
+                # tail records emit in frame order from a single thread
+                # (on_record consumers are not synchronized).
+                _finish_drainer()
+                for j, idx in enumerate(idxs):
+                    dev = (
+                        shipper.ship_native(source, idx)
+                        if native_roi
+                        else shipper.ship(frames[j], idx)
                     )
-                n += 1
+                    out = tracker.step_device(dev)
+                    if on_record is not None:
+                        out_h = jax.device_get(out)
+                        on_record(
+                            {
+                                "frame": idx,
+                                "position": np.asarray(out_h.position).tolist(),
+                                "box": np.asarray(out_h.box).tolist(),
+                                "velocity": np.asarray(out_h.velocity).tolist(),
+                                "conf": float(out_h.conf),
+                                "ess": float(out_h.ess),
+                                "lost": bool(out_h.lost),
+                            }
+                        )
+                    n += 1
+                submit += time.perf_counter() - t
+                break
+            dev = (
+                shipper.ship_native_chunk(source, idxs)
+                if native_roi
+                else shipper.ship_chunk(frames, idxs)
+            )
+            out = tracker.step_chunk_device(dev)
+            if want_records:
+                if packer is None:
+                    packer = OutputPacker(out)
+                packed = packer.pack(out)
+                hist.append((idxs[-1], packed))
+                if len(hist) > 64:
+                    del hist[:-64]
+                if on_record is not None:
+                    pending.append((idxs[-1], packed))
             submit += time.perf_counter() - t
-            break
-        dev = (
-            shipper.ship_native_chunk(source, idxs)
-            if native_roi
-            else shipper.ship_chunk(frames, idxs)
-        )
-        out = tracker.step_chunk_device(dev)
-        if want_records:
-            if packer is None:
-                packer = OutputPacker(out)
-            packed = packer.pack(out)
-            hist.append((idxs[-1], packed))
-            if len(hist) > 64:
-                del hist[:-64]
-            if on_record is not None:
-                pending.append((idxs[-1], packed))
-        submit += time.perf_counter() - t
-        n += len(idxs)
-        if len(pending) * chunk > readback_window and not drain_err:
-            done, pending = pending, []
+            n += len(idxs)
+            if len(pending) * chunk > readback_window and not drain_err:
+                done, pending = pending, []
+                t = time.perf_counter()
+                drain_q.put(done)
+                readback += time.perf_counter() - t
+            if steer_lag > 0:
+                t = time.perf_counter()
+                while n - shipper.observed_idx > steer_lag and not drain_err:
+                    time.sleep(0.0005)
+                readback += time.perf_counter() - t
+        while chunk == 1:
             t = time.perf_counter()
-            drain_q.put(done)
-            readback += time.perf_counter() - t
-        if steer_lag > 0:
+            frame = next(it, None)
+            ingest_wait += time.perf_counter() - t
+            if frame is None:
+                break
             t = time.perf_counter()
-            while n - shipper.observed_idx > steer_lag and not drain_err:
-                time.sleep(0.0005)
-            readback += time.perf_counter() - t
-    while chunk == 1:
+            if native_roi:
+                dev = shipper.ship_native(source, frame)  # frame is an index
+            elif shipper is not None:
+                # Record frames are 1-based (frame 0 is the init frame);
+                # passing the index keeps dead reckoning exact.
+                dev = shipper.ship(frame, n + 1)
+            else:
+                dev = jax.device_put(frame)  # async H2D; overlaps previous step
+            out = tracker.step_device(dev)
+            if want_records:
+                # Pack each record into one flat device array (the readback
+                # threads fetch packed rows — one transfer, not 7 fields).
+                if packer is None:
+                    packer = OutputPacker(out)
+                packed = packer.pack(out)
+                hist.append((n + 1, packed))
+                if len(hist) > 64:
+                    del hist[:-64]
+                if on_record is not None:
+                    pending.append((n + 1, packed))
+            submit += time.perf_counter() - t
+            n += 1
+            if len(pending) > readback_window and not drain_err:
+                done, pending = pending, []
+                t = time.perf_counter()
+                drain_q.put(done)  # blocks only on drainer backpressure
+                readback += time.perf_counter() - t
+            if shipper is not None and steer_lag > 0:
+                # Flow control: cap the submit-ahead distance over the newest
+                # STEERED estimate. Without it, submission outpaces the
+                # device+relay backlog, the steer fetch chases an ever-staler
+                # head, and the predicted ROI walks off the target (measured:
+                # 49.7 fps but RMSE 109 px / 80 lost frames on the 4K run).
+                # The cap bounds both the steering lag and in-flight memory.
+                t = time.perf_counter()
+                while n - shipper.observed_idx > steer_lag and not drain_err:
+                    time.sleep(0.0005)
+                readback += time.perf_counter() - t
         t = time.perf_counter()
-        frame = next(it, None)
-        ingest_wait += time.perf_counter() - t
-        if frame is None:
-            break
-        t = time.perf_counter()
-        if native_roi:
-            dev = shipper.ship_native(source, frame)  # frame is an index
-        elif shipper is not None:
-            dev = shipper.ship(frame)  # ROI-only H2D (plus periodic glob)
-        else:
-            dev = jax.device_put(frame)  # async H2D; overlaps previous step
-        out = tracker.step_device(dev)
-        if want_records:
-            # Pack each record into one flat device array (the readback
-            # threads fetch packed rows — one transfer, not 7 fields).
-            if packer is None:
-                packer = OutputPacker(out)
-            packed = packer.pack(out)
-            hist.append((n + 1, packed))
-            if len(hist) > 64:
-                del hist[:-64]
-            if on_record is not None:
-                pending.append((n + 1, packed))
-        submit += time.perf_counter() - t
-        n += 1
-        if len(pending) > readback_window and not drain_err:
-            done, pending = pending, []
-            t = time.perf_counter()
-            drain_q.put(done)  # blocks only on drainer backpressure
-            readback += time.perf_counter() - t
-        if shipper is not None and steer_lag > 0:
-            # Flow control: cap the submit-ahead distance over the newest
-            # STEERED estimate. Without it, submission outpaces the
-            # device+relay backlog, the steer fetch chases an ever-staler
-            # head, and the predicted ROI walks off the target (measured:
-            # 49.7 fps but RMSE 109 px / 80 lost frames on the 4K run).
-            # The cap bounds both the steering lag and in-flight memory.
-            t = time.perf_counter()
-            while n - shipper.observed_idx > steer_lag and not drain_err:
-                time.sleep(0.0005)
-            readback += time.perf_counter() - t
-    t = time.perf_counter()
-    if drainer is not None:
-        if pending and not drain_err:
-            drain_q.put(pending)
-        drain_q.put(None)
-        drainer.join()
-    steer_stop = True
-    for th in steerers:
-        th.join()
+        _finish_drainer()
+    finally:
+        # Teardown on EVERY exit (success or raise): without it, an
+        # exception mid-stream leaks two busy-polling steer workers and a
+        # blocked drainer per call for the process lifetime. The drainer
+        # discards queued items after an error, so put(None) cannot block.
+        steer_stop = True
+        if drainer is not None:
+            drain_q.put(None)
+            drainer.join()
+            drainer = None
+        for th in steerers:
+            th.join()
     if drain_err:
         raise drain_err[0]
     # Force full completion with a real readback (block_until_ready is

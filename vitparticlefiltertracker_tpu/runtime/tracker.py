@@ -576,7 +576,8 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             coast_vel=coast_vel,
         )
         track_out = TrackOutput(
-            position=jnp.where(lost, coast_xy, est_out),
+            # coast_xy already selects est_out on the non-lost branch.
+            position=coast_xy,
             box=state.box_wh * jnp.where(lost, state.prev_scale, est_scale),
             velocity=coast_vel,
             conf=conf_gate,

@@ -22,3 +22,9 @@ import jax  # noqa: E402
 # config compiles — everything else runs on the forced-CPU fake mesh.
 if os.environ.get("VPT_TEST_BACKEND", "cpu") != "tpu":
     jax.config.update("jax_platforms", "cpu")
+    # The harness exports JAX_PLATFORMS=axon; cli._honor_jax_platforms_env
+    # faithfully RE-applies the env var, which in a fresh pytest process
+    # (no jax op before the first cli.main call) would re-select the
+    # tunneled TPU for CLI-invoking tests. Pin the env to cpu so the CLI's
+    # re-apply agrees with the backend forced above.
+    os.environ["JAX_PLATFORMS"] = "cpu"

@@ -81,10 +81,15 @@ def cmd_track(cfg: Config, quiet: bool = False) -> int:
     t_start = time.perf_counter()
     count = 0
     frames_iter = iter(source)
-    frame0 = next(frames_iter)
-    bbox = getattr(source, "init_bbox", None)
-    if bbox is None:
-        bbox = cfg.io.init_bbox
+    resume = cfg.io.resume_state
+    if resume and cfg.runtime.banks > 1:
+        raise ValueError("io.resume_state supports a single tracker "
+                         "(runtime.banks == 1)")
+    if not resume:
+        frame0 = next(frames_iter)
+        bbox = getattr(source, "init_bbox", None)
+        if bbox is None:
+            bbox = cfg.io.init_bbox
 
     if cfg.runtime.banks > 1:
         from vitparticlefiltertracker_tpu.runtime.banked import (
@@ -106,14 +111,25 @@ def cmd_track(cfg: Config, quiet: bool = False) -> int:
         from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
 
         tracker = Tracker(cfg)
-        tracker.init(frame0, bbox)
+        if resume:
+            tracker.resume(resume)
+            # Continue record numbering from the checkpointed frame
+            # counter; every source frame is a step (no init frame).
+            base = int(np.asarray(tracker.state.frame_idx))
+        else:
+            tracker.init(frame0, bbox)
+            base = 0
         for i, frame in enumerate(frames_iter):
             rec = tracker.step(frame)
-            rec["frame"] = i + 1
+            rec["frame"] = base + i + 1
             sink.write(rec)
             if overlay is not None:
                 overlay.write(frame, rec)
             count += 1
+        if cfg.io.save_state:
+            tracker.save(cfg.io.save_state)
+            if not quiet:
+                print(f"saved state to {cfg.io.save_state}", file=sys.stderr)
     wall = time.perf_counter() - t_start
     sink.close()
     if overlay is not None:

@@ -242,6 +242,15 @@ class IOConfig:
     output: str = ""  # JSONL path; "" = stdout
     overlay: str = ""  # optional overlay video output path
     frame_size: list[int] = field(default_factory=lambda: [224, 224])  # H, W of source (synthetic)
+    # Mid-stream checkpoint/resume for `vpt track` (single tracker;
+    # SURVEY.md §5.4). save_state writes the device TrackerState after the
+    # run; resume_state restores one INSTEAD of init (the source then
+    # supplies the continuation frames, and record numbering continues
+    # from the checkpointed frame index). Resuming is bitwise-continuing:
+    # the RNG is counter-based, so the resumed trajectory equals the
+    # uninterrupted one (tests/test_checkpoint.py).
+    save_state: str = ""
+    resume_state: str = ""
 
 
 @dataclass

@@ -176,3 +176,58 @@ def test_stream_track_chunk_requires_roi():
         assert "chunk" in str(e)
     else:
         raise AssertionError("chunk>1 without roi_px must raise")
+
+
+def test_step_packed_matches_step_device():
+    """Tracker.step_packed / step_chunk_packed fuse the record packing into
+    the step executable (one dispatch per chunk on relay-attached devices).
+    Contract: the packed row unpacks with OutputPacker to the SAME TrackOutput
+    the unfused path produces, and the state advances identically."""
+    from vitparticlefiltertracker_tpu.runtime.streaming import OutputPacker
+
+    cfg = _cfg()
+    src = open_source("synthetic:moving-square", 12, (240, 320), seed=1)
+    arr = np.stack(list(src))
+    sfs = _stream_frames(arr[1:], src.truth[1:])
+
+    tr_a, tr_b = Tracker(cfg), Tracker(cfg)
+    tr_a.init(arr[0], src.init_bbox)
+    tr_b.init(arr[0], src.init_bbox)
+
+    # Per-frame: unfused (step + OutputPacker.pack) vs fused step_packed.
+    out0 = tr_a.step_device(sfs[0])
+    packer = OutputPacker(out0)
+    row_a = np.asarray(packer.pack(out0))
+    row_b = np.asarray(tr_b.step_packed(sfs[0]))
+    np.testing.assert_allclose(row_a, row_b, atol=1e-5, rtol=1e-6)
+
+    # Unpacked record round-trips to the original TrackOutput fields.
+    rec = packer.unpack(row_b)
+    np.testing.assert_allclose(
+        np.asarray(out0.position), np.asarray(rec.position), atol=1e-5
+    )
+    assert bool(rec.lost) == bool(out0.lost)
+
+    # Chunked: both trackers advance through the same 4-frame chunk.
+    chunk = StreamFrame(
+        track=FrameView(
+            pixels=jnp.stack([sf.track.pixels for sf in sfs[1:5]]),
+            origin=jnp.stack([sf.track.origin for sf in sfs[1:5]]),
+            stride=1.0,
+        ),
+        glob=sfs[0].glob,
+    )
+    outs = tr_a.step_chunk_device(chunk)
+    cpack = OutputPacker(outs)
+    row_a = np.asarray(cpack.pack(outs))
+    row_b = np.asarray(tr_b.step_chunk_packed(chunk))
+    np.testing.assert_allclose(row_a, row_b, atol=1e-5, rtol=1e-6)
+    # States stay in lockstep after mixed fused/unfused stepping.
+    np.testing.assert_array_equal(
+        np.asarray(tr_a.state.frame_idx), np.asarray(tr_b.state.frame_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr_a.state.pf.particles),
+        np.asarray(tr_b.state.pf.particles),
+        atol=1e-3, rtol=1e-5,
+    )

@@ -67,6 +67,14 @@ VARIANTS = {
         "roi": {"px": 1600, "out": 288, "glob_stride": 8, "glob_every": 8},
         "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
     },
+    # c8: steering granularity widens to 8 frames — dead reckoning still
+    # covers it at this clip's velocities (ROI span has 370px of slack).
+    "eval5-roi-c8": {
+        "model": "vit-l16", "particles": 16384, "frame": (2160, 3840),
+        "frames": 240, "chunk": 8,
+        "roi": {"px": 1600, "out": 288, "glob_stride": 8, "glob_every": 8},
+        "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
+    },
     "1080p": {"model": "vit-l16", "particles": 16384, "frame": (1080, 1920), "frames": 16},
     "1080p-roi": {
         "model": "vit-l16", "particles": 16384, "frame": (1080, 1920),
@@ -173,6 +181,9 @@ def run_variant(name: str) -> dict:
         warm_dev = ship.ship_native_chunk(src, [0] * chunk)
         out = tracker.step_chunk_device(warm_dev)
         np.asarray(out.position)
+        # Warm the fused step+pack executable the records pipeline runs
+        # (stream_track switches to it after the first chunk).
+        np.asarray(tracker.step_chunk_packed(ship.ship_native_chunk(src, [0] * chunk)))
         t_dev0 = time.perf_counter()
         out = tracker.step_chunk_device(ship.ship_native_chunk(src, [0] * chunk))
         np.asarray(out.position)
@@ -180,6 +191,8 @@ def run_variant(name: str) -> dict:
     else:
         out = tracker.step_device(warm_dev)
         np.asarray(out.position)
+        if roi:  # records path live -> warm the fused step+pack executable
+            np.asarray(tracker.step_packed(warm_dev))
         t_dev0 = time.perf_counter()
         out = tracker.step_device(warm_dev)
         np.asarray(out.position)

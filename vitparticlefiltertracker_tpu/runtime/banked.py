@@ -29,6 +29,29 @@ from vitparticlefiltertracker_tpu.parallel.mesh import (
 from vitparticlefiltertracker_tpu.runtime.tracker import build_tracker_fns
 
 
+def _packed_step_jit(step_fn, mesh, param_sh, packed_shardings, don):
+    """Jit `step_fn` with its TrackOutput flattened on-device (one f32 row,
+    runtime/tracker.py pack_track_output == streaming.OutputPacker layout).
+    The streaming pipeline then pays ONE dispatch per step instead of a step
+    dispatch plus a separate pack dispatch — material on relay-attached
+    devices where each submission costs ~ms of host latency."""
+    from vitparticlefiltertracker_tpu.runtime.tracker import pack_track_output
+
+    def fn(prm, state, frame):
+        st, out = step_fn(prm, state, frame)
+        return st, pack_track_output(out)
+
+    if mesh is not None:
+        state_sh, frame_sh = packed_shardings
+        return jax.jit(
+            fn,
+            in_shardings=(param_sh, state_sh, frame_sh),
+            out_shardings=(state_sh, None),
+            donate_argnums=don,
+        )
+    return jax.jit(fn, donate_argnums=don)
+
+
 def banked_bboxes(init_bbox, banks: int) -> np.ndarray:
     """[K, 4] bboxes for K banks: tile a single box; pass through (and
     validate) per-target boxes a multi-object source already provides."""
@@ -119,15 +142,17 @@ class MultiStreamTracker:
             self.vit_params = jax.device_put(vit_params, self._param_sh)
             self._init_jit = jax.jit(init_m)
             self._step_jit = None  # built lazily once state sharding is known
-            self._step_m = step_m
             self._clip_jit = None
-            self._clip_m = clip_m
-            self._don = don
         else:
             self.vit_params = jax.device_put(vit_params)
             self._init_jit = jax.jit(init_m)
             self._step_jit = jax.jit(step_m, donate_argnums=don)
             self._clip_jit = jax.jit(clip_m, donate_argnums=don)
+        self._step_m = step_m
+        self._clip_m = clip_m
+        self._don = don
+        self._step_packed_jit = None  # fused step+pack (see step_packed)
+        self._packed_shardings = None  # mesh: (state_sh, frame_sh) from init
         self.state = None
 
     def init(self, frames: np.ndarray, bboxes, seeds=None) -> None:
@@ -144,6 +169,10 @@ class MultiStreamTracker:
 
             shardings = banked_state_sharding(self.mesh, state)
             state = jax.device_put(state, shardings)
+            self._packed_shardings = (
+                shardings,
+                NamedSharding(self.mesh, P("bank")),
+            )
             if self._step_jit is None:
                 # Frames [K, H, W, 3] shard their stream axis over "bank":
                 # each stream's pixels live with its filter state.
@@ -168,6 +197,20 @@ class MultiStreamTracker:
         """frames_dev: [K, H, W, 3] -> TrackOutput with leading K axis."""
         self.state, out = self._step_jit(self.vit_params, self.state, frames_dev)
         return out
+
+    def step_packed(self, frames_dev: jax.Array) -> jax.Array:
+        """step_device with the K-stream TrackOutput packed on-device into
+        one flat f32 row: one dispatch per frame-batch in `serve` instead of
+        step + a separate pack call (see _packed_step_jit)."""
+        if self._step_packed_jit is None:
+            self._step_packed_jit = _packed_step_jit(
+                self._step_m, self.mesh, getattr(self, "_param_sh", None),
+                self._packed_shardings, self._don,
+            )
+        self.state, packed = self._step_packed_jit(
+            self.vit_params, self.state, frames_dev
+        )
+        return packed
 
     def track_clips_device(self, clips_dev: jax.Array):
         """clips_dev: [T, K, H, W, 3] -> TrackOutput [T, K] in one dispatch."""
@@ -207,15 +250,21 @@ class MultiTracker:
             self.vit_params = jax.device_put(vit_params, self._param_sh)
             self._init_jit = jax.jit(init_b)  # sharding applied post-init
             self._step_jit = None  # built lazily once state sharding is known
-            self._step_b = step_b
             self._clip_jit = None
-            self._clip_b = clip_b
         else:
             self.vit_params = jax.device_put(vit_params)
-            don = (1,) if cfg.runtime.donate_state else ()
             self._init_jit = jax.jit(init_b)
-            self._step_jit = jax.jit(step_b, donate_argnums=don)
-            self._clip_jit = jax.jit(clip_b, donate_argnums=don)
+            self._step_jit = jax.jit(
+                step_b, donate_argnums=(1,) if cfg.runtime.donate_state else ()
+            )
+            self._clip_jit = jax.jit(
+                clip_b, donate_argnums=(1,) if cfg.runtime.donate_state else ()
+            )
+        self._step_b = step_b
+        self._clip_b = clip_b
+        self._don = (1,) if cfg.runtime.donate_state else ()
+        self._step_packed_jit = None  # fused step+pack (see step_packed)
+        self._packed_shardings = None  # mesh: (state_sh, rep) from init
         self.state = None
 
     def init(self, frame: np.ndarray, bboxes) -> None:
@@ -225,12 +274,13 @@ class MultiTracker:
         if self.mesh is not None:
             shardings = banked_state_sharding(self.mesh, state)
             state = jax.device_put(state, shardings)
+            self._packed_shardings = (shardings, replicated(self.mesh))
             if self._step_jit is None:
                 # Pin the output state to the same layout as the input state
                 # so step N+1's in_shardings match and donation is in-place.
                 rep = replicated(self.mesh)
                 param_sh = self._param_sh
-                don = (1,) if self.cfg.runtime.donate_state else ()
+                don = self._don
                 self._step_jit = jax.jit(
                     self._step_b,
                     in_shardings=(param_sh, shardings, rep),
@@ -296,6 +346,20 @@ class MultiTracker:
     def step_device(self, frame_dev: jax.Array):
         self.state, out = self._step_jit(self.vit_params, self.state, frame_dev)
         return out
+
+    def step_packed(self, frame_dev: jax.Array) -> jax.Array:
+        """step_device with the K-bank TrackOutput packed on-device into one
+        flat f32 row: one dispatch per frame in the banked streaming path
+        instead of step + pack (see _packed_step_jit)."""
+        if self._step_packed_jit is None:
+            self._step_packed_jit = _packed_step_jit(
+                self._step_b, self.mesh, getattr(self, "_param_sh", None),
+                self._packed_shardings, self._don,
+            )
+        self.state, packed = self._step_packed_jit(
+            self.vit_params, self.state, frame_dev
+        )
+        return packed
 
     def track_clip_device(self, frames_dev: jax.Array):
         """Track a staged clip [T, H, W, 3] for all K banks in ONE dispatch

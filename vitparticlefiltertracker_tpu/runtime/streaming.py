@@ -431,6 +431,10 @@ def stream_track(
     pending: list[tuple[int, Any]] = []
     packer: OutputPacker | None = None
     want_records = on_record is not None or shipper is not None
+    # Fused step+pack entry points (optional — banked trackers may not have
+    # them; pack_track_output's layout == OutputPacker's, tests assert).
+    step_packed = getattr(tracker, "step_packed", None)
+    chunk_packed = getattr(tracker, "step_chunk_packed", None)
 
     # Two independent readback paths, neither on the submit thread:
     #
@@ -604,11 +608,19 @@ def stream_track(
                 if native_roi
                 else shipper.ship_chunk(frames, idxs)
             )
-            out = tracker.step_chunk_device(dev)
+            # Once the packer layout is known (first chunk), track + pack in
+            # ONE executable (Tracker.step_chunk_packed): one dispatch per
+            # chunk instead of a step dispatch plus a pack dispatch.
+            if want_records and packer is not None and chunk_packed is not None:
+                packed = chunk_packed(dev)
+            else:
+                out = tracker.step_chunk_device(dev)
+                packed = None
+                if want_records:
+                    if packer is None:
+                        packer = OutputPacker(out)
+                    packed = packer.pack(out)
             if want_records:
-                if packer is None:
-                    packer = OutputPacker(out)
-                packed = packer.pack(out)
                 hist.append((idxs[-1], packed))
                 if len(hist) > 64:
                     del hist[:-64]
@@ -641,13 +653,20 @@ def stream_track(
                 dev = shipper.ship(frame, n + 1)
             else:
                 dev = jax.device_put(frame)  # async H2D; overlaps previous step
-            out = tracker.step_device(dev)
+            # Pack each record into one flat device array (the readback
+            # threads fetch packed rows — one transfer, not 7 fields); once
+            # the layout is known, packing happens INSIDE the step executable
+            # (Tracker.step_packed) — one dispatch per frame, not two.
+            if want_records and packer is not None and step_packed is not None:
+                packed = step_packed(dev)
+            else:
+                out = tracker.step_device(dev)
+                packed = None
+                if want_records:
+                    if packer is None:
+                        packer = OutputPacker(out)
+                    packed = packer.pack(out)
             if want_records:
-                # Pack each record into one flat device array (the readback
-                # threads fetch packed rows — one transfer, not 7 fields).
-                if packer is None:
-                    packer = OutputPacker(out)
-                packed = packer.pack(out)
                 hist.append((n + 1, packed))
                 if len(hist) > 64:
                     del hist[:-64]

@@ -97,6 +97,20 @@ class TrackOutput(NamedTuple):
     lost: jax.Array  # [] bool
 
 
+def pack_track_output(out) -> jax.Array:
+    """Flatten a TrackOutput pytree into ONE f32 vector (jit-traceable).
+
+    Layout contract: tree_leaves order, each leaf raveled then concatenated
+    — exactly what runtime/streaming.py's OutputPacker.pack produces, so a
+    row packed on-device inside the step executable unpacks with the same
+    OutputPacker. Packing INSIDE the step saves one host->device dispatch
+    per streamed chunk, which matters on relay-attached devices where each
+    dispatch costs ~ms of submission latency (see stream_track)."""
+    return jnp.concatenate(
+        [jnp.ravel(x).astype(jnp.float32) for x in jax.tree_util.tree_leaves(out)]
+    )
+
+
 def _pf_params(cfg: Config) -> PFParams:
     f = cfg.filter
     return PFParams(
@@ -787,8 +801,6 @@ class Tracker:
             self._step_jit = None  # built lazily once state sharding is known
             self._clip_jit = None
             self._chunk_jit = None
-            self._fns = fns
-            self._don = don
         else:
             # Weights live on device as jit ARGUMENTS (one H2D), never as
             # closure constants baked into the HLO (see build_tracker_fns).
@@ -797,6 +809,12 @@ class Tracker:
             self._step_jit = jax.jit(fns.step, donate_argnums=don)
             self._clip_jit = jax.jit(fns.track_clip, donate_argnums=don)
             self._chunk_jit = jax.jit(fns.track_chunk, donate_argnums=don)
+        self._fns = fns
+        self._don = don
+        self._state_sh = None  # mesh mode: set by _adopt_state
+        self._rep = None
+        self._step_packed_jit = None  # built lazily on first packed step
+        self._chunk_packed_jit = None
         self.state: TrackerState | None = None
 
     # -- lifecycle -----------------------------------------------------------
@@ -818,8 +836,10 @@ class Tracker:
 
             shardings = tracker_state_sharding(self.mesh, state)
             state = jax.device_put(state, shardings)
+            self._state_sh = shardings
+            self._rep = replicated(self.mesh)
             if self._step_jit is None:
-                rep = replicated(self.mesh)
+                rep = self._rep
                 self._step_jit = jax.jit(
                     self._fns.step,
                     in_shardings=(self._param_sh, shardings, rep),
@@ -863,6 +883,46 @@ class Tracker:
         assert self.state is not None, "call init() first"
         self.state, outs = self._chunk_jit(self.vit_params, self.state, chunk)
         return outs
+
+    def _packed_jit(self, raw_fn):
+        """Jit `raw_fn` with the output flattened on-device (pack_track_output)
+        — track + pack in ONE executable, so the streaming pipeline pays one
+        dispatch per step/chunk instead of two (step, then a separate pack)."""
+
+        def fn(prm, state, frame):
+            st, out = raw_fn(prm, state, frame)
+            return st, pack_track_output(out)
+
+        if self.mesh is not None:
+            return jax.jit(
+                fn,
+                in_shardings=(self._param_sh, self._state_sh, self._rep),
+                out_shardings=(self._state_sh, None),
+                donate_argnums=self._don,
+            )
+        return jax.jit(fn, donate_argnums=self._don)
+
+    def step_packed(self, frame_dev) -> jax.Array:
+        """step_device with the TrackOutput packed on-device into one flat
+        f32 row (OutputPacker layout). One dispatch, one readback handle."""
+        assert self.state is not None, "call init() first"
+        if self._step_packed_jit is None:
+            self._step_packed_jit = self._packed_jit(self._fns.step)
+        self.state, packed = self._step_packed_jit(
+            self.vit_params, self.state, frame_dev
+        )
+        return packed
+
+    def step_chunk_packed(self, chunk: StreamFrame) -> jax.Array:
+        """step_chunk_device with the C-frame TrackOutput packed on-device
+        into one flat f32 row. One dispatch per chunk."""
+        assert self.state is not None, "call init() first"
+        if self._chunk_packed_jit is None:
+            self._chunk_packed_jit = self._packed_jit(self._fns.track_chunk)
+        self.state, packed = self._chunk_packed_jit(
+            self.vit_params, self.state, chunk
+        )
+        return packed
 
     def track_clip_device(self, frames_dev: jax.Array) -> TrackOutput:
         """Track a staged clip [K, H, W, 3] in ONE device call (lax.scan).

@@ -45,3 +45,23 @@ def test_unknown_override_rejected():
 def test_invalid_variant_rejected():
     with pytest.raises(ValueError, match="unknown model.variant"):
         Config.from_dict({"model": {"variant": "vit-z99"}})
+
+
+def test_bare_invocation_picks_up_cwd_config_yaml(tmp_path, monkeypatch):
+    """README.md:37,42 contract: a bare `python main.py` is configured by
+    ./config.yaml. Implicit pickup applies only to real command-line runs
+    (argv=None -> implicit_config=True); explicit-argv callers (tests,
+    embedding code) keep built-in defaults."""
+    from vitparticlefiltertracker_tpu.cli import build_parser, load
+
+    (tmp_path / "config.yaml").write_text(
+        "filter: {num_particles: 77}\n"
+    )
+    monkeypatch.chdir(tmp_path)
+    args = build_parser().parse_args([])
+    assert load(args, implicit_config=True).filter.num_particles == 77
+    assert load(args).filter.num_particles != 77  # explicit argv: defaults
+    # --config always wins over the implicit file.
+    (tmp_path / "other.yaml").write_text("filter: {num_particles: 33}\n")
+    args2 = build_parser().parse_args(["track", "--config", "other.yaml"])
+    assert load(args2, implicit_config=True).filter.num_particles == 33

@@ -54,9 +54,16 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load(args) -> Config:
+def load(args, implicit_config: bool = False) -> Config:
     if args.config:
         return load_config(args.config, args.overrides)
+    # The reference's documented invocation is a BARE `python main.py`
+    # configured by "the config.yaml file" (README.md:37,42) — so a real
+    # command-line run (argv=None in main(); implicit_config=True) without
+    # --config picks up ./config.yaml when present. Programmatic callers
+    # passing an explicit argv keep the built-in defaults.
+    if implicit_config and os.path.exists("config.yaml"):
+        return load_config("config.yaml", args.overrides)
     cfg = Config()
     from vitparticlefiltertracker_tpu.config import apply_override
 
@@ -308,7 +315,7 @@ def main(argv=None) -> int:
     _honor_jax_platforms_env()
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
-    cfg = load(args)
+    cfg = load(args, implicit_config=argv is None)
     if args.command == "bench":
         return cmd_bench(cfg, args.quiet)
     if args.command == "stream":

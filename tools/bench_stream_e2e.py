@@ -68,10 +68,14 @@ VARIANTS = {
         "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
     },
     # c8: steering granularity widens to 8 frames — dead reckoning still
-    # covers it at this clip's velocities (ROI span has 370px of slack).
+    # covers it at this clip's velocities (ROI span has ~370px of slack;
+    # the un-modeled sine acceleration drifts ~0.09*L² px over L lag
+    # frames, so lag 48 stays ~200px inside it). 3 steer workers: steering
+    # sustains ~workers*chunk/RTT fps, and at 60 fps with a 200 ms bad-
+    # window RTT two workers would bind before the dispatch path does.
     "eval5-roi-c8": {
         "model": "vit-l16", "particles": 16384, "frame": (2160, 3840),
-        "frames": 240, "chunk": 8,
+        "frames": 240, "chunk": 8, "steer_lag": 48, "steer_workers": 3,
         "roi": {"px": 1600, "out": 288, "glob_stride": 8, "glob_every": 8},
         "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
     },
@@ -209,8 +213,9 @@ def run_variant(name: str) -> dict:
         glob_stride=roi["glob_stride"] if roi else 8,
         glob_every=roi["glob_every"] if roi else 4,
         roi_out=roi.get("out", 0) if roi else 0,
-        steer_lag=32,
+        steer_lag=v.get("steer_lag", 32),
         chunk=chunk,
+        steer_workers=v.get("steer_workers", 2),
     )
     row = {
         "variant": name,

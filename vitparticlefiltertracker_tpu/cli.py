@@ -199,6 +199,7 @@ def cmd_stream(cfg: Config, quiet: bool = False) -> int:
         glob_stride=rt.stream_glob_stride,
         glob_every=rt.stream_glob_every,
         chunk=rt.stream_chunk if rt.banks == 1 and rt.stream_roi > 0 else 1,
+        steer_workers=rt.stream_steer_workers,
     )
     sink.close()
     if not quiet:

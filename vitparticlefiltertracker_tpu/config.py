@@ -303,6 +303,11 @@ class RuntimeConfig:
     # ~11 ms/dispatch held 4K ROI streaming at 44 fps; chunking lifts it).
     # Steering coarsens to chunk granularity; keep <= stream_steer_lag.
     stream_chunk: int = 1
+    # Concurrent steering-readback threads. Each fetch costs ~one relay RTT
+    # and advances the steered index by stream_chunk frames, so the steering
+    # path sustains ~ workers * chunk / RTT fps; more workers pipeline the
+    # RTT when the flow-control cap (stream_steer_lag) binds throughput.
+    stream_steer_workers: int = 2
     profile_dir: str = ""  # jax.profiler trace output ("" disables)
 
 

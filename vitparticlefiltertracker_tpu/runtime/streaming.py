@@ -367,6 +367,7 @@ def stream_track(
     roi_out: int = 0,
     steer_lag: int = 16,
     chunk: int = 1,
+    steer_workers: int = 2,
 ) -> dict[str, Any]:
     """Run the fused decode→track pipeline over a source.
 
@@ -453,8 +454,9 @@ def stream_track(
     hist: list[tuple[int, Any]] = []  # recent packed records (main appends)
     steer_stop = False
     # Margin is in HIST ENTRIES (one per dispatch = `chunk` frames): aim the
-    # fetch ~steer_lag/2 frames behind the newest submission.
-    steer_margin = max(1, steer_lag // (2 * max(1, chunk)))
+    # fetch ~steer_lag/2 frames behind the newest submission, and keep at
+    # least one claimable entry per steer worker so none of them starve.
+    steer_margin = max(1, steer_workers, steer_lag // (2 * max(1, chunk)))
 
     def _drain_worker() -> None:
         # Runs until the None sentinel EVEN after an error: a dead consumer
@@ -526,8 +528,13 @@ def stream_track(
         drainer = threading.Thread(target=_drain_worker, daemon=True)
         drainer.start()
     if shipper is not None:
+        # Each steer fetch costs ~one relay RTT and advances the steered
+        # index by `chunk` frames; N workers pipeline that RTT (see
+        # config.py runtime.stream_steer_workers). The claim counter keeps
+        # them on distinct entries.
         steerers = [
-            threading.Thread(target=_steer_worker, daemon=True) for _ in range(2)
+            threading.Thread(target=_steer_worker, daemon=True)
+            for _ in range(max(1, steer_workers))
         ]
         for th in steerers:
             th.start()

@@ -17,4 +17,31 @@ __version__ = "0.1.0"
 
 from vitparticlefiltertracker_tpu.config import Config, load_config
 
-__all__ = ["Config", "load_config", "__version__"]
+# Heavier entry points resolve lazily (PEP 562) so `import
+# vitparticlefiltertracker_tpu` stays cheap and jax-free until used:
+# Tracker / MultiTracker / MultiStreamTracker, stream_track, open_source.
+_LAZY = {
+    "Tracker": ("vitparticlefiltertracker_tpu.runtime.tracker", "Tracker"),
+    "MultiTracker": ("vitparticlefiltertracker_tpu.runtime.banked", "MultiTracker"),
+    "MultiStreamTracker": (
+        "vitparticlefiltertracker_tpu.runtime.banked",
+        "MultiStreamTracker",
+    ),
+    "stream_track": (
+        "vitparticlefiltertracker_tpu.runtime.streaming",
+        "stream_track",
+    ),
+    "open_source": ("vitparticlefiltertracker_tpu.io.video", "open_source"),
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["Config", "load_config", "__version__", *sorted(_LAZY)]

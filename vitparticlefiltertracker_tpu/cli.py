@@ -18,17 +18,9 @@ import numpy as np
 from vitparticlefiltertracker_tpu.config import Config, load_config
 
 
-def _honor_jax_platforms_env() -> None:
-    """Make `JAX_PLATFORMS=cpu python main.py ...` actually run on CPU.
-
-    This image's tunneled-TPU plugin prepends itself to jax_platforms at
-    import, silently overriding the standard env var — the CLI re-applies
-    the user's explicit choice (tests/conftest.py does the same)."""
-    want = os.environ.get("JAX_PLATFORMS", "").strip()
-    if want:
-        import jax
-
-        jax.config.update("jax_platforms", want)
+from vitparticlefiltertracker_tpu.utils.platform import (
+    honor_jax_platforms_env as _honor_jax_platforms_env,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -188,7 +188,7 @@ def render_quality_md() -> None:
         # --set runs) stay in quality_runs.jsonl as evidence but are not
         # table rows: the canonical `random`/`trained` rows already run at
         # the shipping config the sweep selected.
-        if "-z" in r["weights"] or "-mode" in r["weights"]:
+        if any(tag in r["weights"] for tag in ("-z", "-mode", "-coast")):
             continue
         latest[(r["geometry"], r["clip"], r["weights"], r["mp4"], r["backend"])] = r
     md = os.path.join(REPO, "docs", "QUALITY.md")

@@ -216,6 +216,15 @@ class TrackerConfig:
     # init. Skipped while the EMA is unseeded (never locked). 0 disables.
     redetect_accept_ratio: float = 0.0
     estimate: str = "mean"  # "mean" | "mode" (highest-weight particle)
+    # Lost-aware output coasting (runtime/tracker.py): while lost the
+    # REPORTED position extrapolates from the last-locked state. The coast
+    # carries an EMA of the locked per-frame velocity delta (acceleration),
+    # so curved trajectories don't accumulate the constant-velocity error
+    # during an occlusion. coast_accel_ema = 0 disables (pure constant-
+    # velocity coast); coast_accel_clip bounds the per-axis acceleration
+    # (px/frame²) so a noisy posterior can't launch the coast.
+    coast_accel_ema: float = 0.25
+    coast_accel_clip: float = 2.0
 
     def resolve(self) -> "TrackerConfig":
         if self.mode not in ("dense", "crop"):
@@ -226,6 +235,8 @@ class TrackerConfig:
             )
         if self.estimate not in ("mean", "mode"):
             raise ValueError("tracker.estimate must be 'mean' or 'mode'")
+        if not 0.0 <= self.coast_accel_ema <= 1.0:
+            raise ValueError("tracker.coast_accel_ema must be in [0, 1]")
         if self.appearance not in ("pooled", "cells"):
             raise ValueError("tracker.appearance must be 'pooled' or 'cells'")
         return self

@@ -85,6 +85,10 @@ class TrackerState(NamedTuple):
     # while lost — the OUTPUT trajectory coasts instead of chasing the
     # boosted-noise posterior mean (the filter itself is untouched)
     coast_vel: jax.Array  # [2] f32 last-locked velocity
+    coast_acc: jax.Array  # [2] f32 EMA of per-frame velocity deltas while
+    # locked (tracker.coast_accel_ema); while lost the coast extrapolates
+    # with it, so curved trajectories (the occlusion clip's sine) don't
+    # accumulate the constant-velocity error
 
 
 class TrackOutput(NamedTuple):
@@ -299,6 +303,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             conf_ema=jnp.float32(-1.0),  # adopt the first measured conf
             coast_xy=center,
             coast_vel=jnp.zeros((2,), jnp.float32),
+            coast_acc=jnp.zeros((2,), jnp.float32),
         )
 
     # ---- step -------------------------------------------------------------
@@ -564,13 +569,31 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         frame_max = jnp.asarray([fw - 1, fh - 1], jnp.float32)
         est_vel = est[2:4]
         est_out = jnp.where(accepted, accept_xy, est_xy)
+        # Coast acceleration: EMA of the locked per-frame velocity delta
+        # (tracker.coast_accel_ema; 0 disables -> pure constant-velocity
+        # coast). A curved trajectory (the occlusion clip's sine) changes
+        # velocity while hidden — extrapolating with the pre-loss
+        # acceleration roughly halves the mid-occlusion error. Clipped per
+        # axis (coast_accel_clip) so a noisy posterior can't launch the
+        # coast; frozen while lost; reset on a global re-detect accept.
+        a_ema = jnp.float32(t.coast_accel_ema)
+        acc_upd = jnp.clip(
+            (1.0 - a_ema) * state.coast_acc + a_ema * (est_vel - state.coast_vel),
+            -t.coast_accel_clip,
+            t.coast_accel_clip,
+        )
+        coast_acc = jnp.where(
+            lost, state.coast_acc,
+            jnp.where(accepted, jnp.zeros_like(est_vel), acc_upd),
+        )
+        vel_lost = state.coast_vel + state.coast_acc  # semi-implicit Euler
         coast_xy = jnp.where(
             lost,
-            jnp.clip(state.coast_xy + state.coast_vel, 0.0, frame_max),
+            jnp.clip(state.coast_xy + vel_lost, 0.0, frame_max),
             est_out,
         )
         coast_vel = jnp.where(
-            lost, state.coast_vel,
+            lost, vel_lost,
             jnp.where(accepted, jnp.zeros_like(est_vel), est_vel),
         )
         new_state = TrackerState(
@@ -588,6 +611,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             conf_ema=conf_ema_new,
             coast_xy=coast_xy,
             coast_vel=coast_vel,
+            coast_acc=coast_acc,
         )
         track_out = TrackOutput(
             # coast_xy already selects est_out on the non-lost branch.
@@ -724,6 +748,9 @@ def _state_from_named(flat: dict, path: str) -> TrackerState:
         # from the saved window center with zero velocity.
         coast_xy=get("coast_xy", np.asarray(flat["center"], np.float32)),
         coast_vel=get("coast_vel", np.zeros_like(np.asarray(flat["center"], np.float32))),
+        # Added with accel-aware coasting: older files resume with zero
+        # acceleration (= the constant-velocity coast they were saved under).
+        coast_acc=get("coast_acc", np.zeros_like(np.asarray(flat["center"], np.float32))),
     )
 
 

@@ -9,6 +9,8 @@ SURVEY.md §6 — so the driver's north-star target is the baseline).
 """
 
 import json
+import os
+import subprocess
 import sys
 
 from vitparticlefiltertracker_tpu.config import Config
@@ -17,8 +19,47 @@ from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
+_PROBE = (
+    "import jax, numpy as np; x = jax.device_put(np.arange(8, np.float32));"
+    " assert float(np.asarray(x * 2)[3]) == 6.0"
+)
+
+
+def _device_reachable(timeout_s: float = 150.0) -> bool:
+    """Probe the default backend from a KILLABLE subprocess.
+
+    This rig's TPU sits behind a relay that can die outright (observed
+    round 3: hours-long outage where every client hangs at its first op).
+    A hung bench emits nothing; probing first lets the bench fall back to
+    an honest CPU measurement instead."""
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", _PROBE],
+                timeout=timeout_s,
+                capture_output=True,
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
 
 def main() -> int:
+    note = None
+    if os.environ.get("JAX_PLATFORMS", "").strip() not in ("cpu",):
+        if not _device_reachable():
+            # Force THIS process onto CPU before the first jax op (the TPU
+            # plugin overrides the env var, so set the config too).
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            note = (
+                "TPU relay unreachable at bench time (device probe timed "
+                "out); this row is a CPU fallback measurement. Last "
+                "measured TPU values: docs/BENCH_RESULTS.md."
+            )
     cfg = Config.from_dict(
         {
             "model": {
@@ -38,7 +79,13 @@ def main() -> int:
     )
     # 64 staged frames: the offline scan amortizes one relay round-trip over
     # 64 on-chip steps (staging is a one-time H2D, excluded from timing).
-    result = run_benchmark(cfg, warmup=8, measure_frames=256, stage_frames=64)
+    # The CPU-fallback path (dead relay) shrinks the run: ViT-B at ~0.7 s
+    # per frame on this 1-core host would blow the driver's timeout at the
+    # TPU-sized measurement.
+    if note:
+        result = run_benchmark(cfg, warmup=2, measure_frames=24, stage_frames=8)
+    else:
+        result = run_benchmark(cfg, warmup=8, measure_frames=256, stage_frames=64)
     target_fps = 60.0
     out = {
         "metric": "frames/sec/chip at ViT-B/16 + 1k particles",
@@ -60,6 +107,8 @@ def main() -> int:
         "latency_target_met": bool(result["p50_device_ms"] < 16.0),
         "backend": result["config"]["backend"],
     }
+    if note:
+        out["note"] = note
     print(json.dumps(out))
     return 0
 

@@ -41,7 +41,7 @@ def test_committed_configs_load(path):
 
 @pytest.mark.parametrize(
     "name", ["moving-square", "occlusion", "needle", "surveillance",
-             "teleport", "photometric", "rotation"]
+             "teleport", "photometric", "rotation", "lookalikes"]
 )
 def test_synthetic_sources(name):
     src = open_source(f"synthetic:{name}", num_frames=6, frame_size=(120, 160))
@@ -50,6 +50,34 @@ def test_synthetic_sources(name):
     assert frames[0].shape == (120, 160, 3) and frames[0].dtype == np.uint8
     assert src.truth.shape == (6, 2)
     assert src.init_bbox.shape == (4,)
+
+
+def test_lookalikes_clip_has_distinct_distractors():
+    """The lookalikes clip adds same-size/color distractors AWAY from the
+    target box (no label poisoning by construction: closest pass 1.6 target
+    widths along directions whose larger component clears the box), the
+    target itself carries the k=3 spoke pattern, and truth still follows
+    the moving-square motion law."""
+    from vitparticlefiltertracker_tpu.io.synthetic import make_clip
+
+    n = 40
+    frames, truth, bbox = make_clip("lookalikes", n, 240, 320, seed=0)
+    base, base_truth, _ = make_clip("moving-square", n, 240, 320, seed=0)
+    tw = bbox[2]
+    # Same motion law as moving-square -> identical truth.
+    np.testing.assert_allclose(truth, base_truth, atol=1e-5)
+    # Deterministic generation.
+    again = make_clip("lookalikes", n, 240, 320, seed=0)[0]
+    np.testing.assert_array_equal(frames, again)
+    # Distractors present every frame: pixels OUTSIDE 1.5 target widths of
+    # the truth differ from the plain clip (the target box can't reach there).
+    yy, xx = np.mgrid[0:240, 0:320].astype(np.float32)
+    hits = []
+    for t_i in range(0, n, 5):
+        far = np.hypot(xx - truth[t_i, 0], yy - truth[t_i, 1]) > 1.5 * tw
+        d = np.abs(frames[t_i].astype(int) - base[t_i].astype(int)).max(-1)
+        hits.append(float(((d > 25) & far).sum()))
+    assert min(hits) > 0.1 * tw * tw, hits  # a blob-sized region, each frame
 
 
 def test_photometric_clip_jitters_exposure():

@@ -42,7 +42,7 @@ GEOMETRIES = {
     "flagship": {
         "model": "vit-b16", "particles": 1024, "frame": (480, 640), "banks": 1,
         "clips": ["moving-square", "occlusion", "needle", "surveillance",
-                  "teleport", "photometric", "rotation"],
+                  "teleport", "photometric", "rotation", "lookalikes"],
     },
     "eval3": {  # BASELINE: ViT-L/16, 4k particles, 1080p needle
         "model": "vit-l16", "particles": 4096, "frame": (1080, 1920), "banks": 1,

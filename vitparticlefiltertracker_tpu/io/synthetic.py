@@ -72,6 +72,14 @@ def make_clip(
                         raw pixel correlation against a fixed template
                         decays with angle; features trained with the
                         rotation augmentation (training/data.py) must not.
+      lookalikes      — two same-color same-size distractors whose paths
+                        cross through the target's search window mid-clip;
+                        they differ from the target only in the azimuthal
+                        harmonic of their internal pattern (k=5/7 spokes vs
+                        the target's 3). The object-RECOGNITION stressor
+                        (reference README.md:7, surveillance README.md:50):
+                        coarse color/size/shape match, so discrimination
+                        must come from pattern detail.
     """
     rng = np.random.default_rng(seed)
     bg = _textured_background(rng, height, width)
@@ -92,17 +100,20 @@ def make_clip(
     ry = (yy - (th - 1) / 2) / (th / 2)
     rx = (xx - (tw - 1) / 2) / (tw / 2)
 
-    def _pattern(angle: float = 0.0) -> np.ndarray:
+    def _pattern(angle: float = 0.0, spokes_k: int = 0) -> np.ndarray:
         ca, sa = np.cos(angle), np.sin(angle)
         qx, qy = ca * rx + sa * ry, -sa * rx + ca * ry
         r = np.sqrt(qx**2 + qy**2)
         core = np.clip(1.0 - r, 0.0, 1.0)  # 1 at center -> 0 at edge
-        if name == "rotation":
+        if spokes_k:
             # Azimuthal spokes: the radial gradient alone is rotation-
-            # invariant, so a rotating clip must carry orientation. Clamped
-            # to 1 so the u8 clip below doesn't flatten the modulation.
+            # invariant, so a rotating clip must carry orientation — and the
+            # harmonic count k is what tells lookalikes apart. Clamped to 1
+            # so the u8 clip below doesn't flatten the modulation.
             core = np.clip(
-                core * (1.0 + 0.6 * np.cos(3.0 * np.arctan2(qy, qx))), 0.0, 1.0
+                core * (1.0 + 0.6 * np.cos(spokes_k * np.arctan2(qy, qx))),
+                0.0,
+                1.0,
             )
         return np.stack(
             [
@@ -113,7 +124,18 @@ def make_clip(
             axis=-1,
         )
 
-    pattern = _pattern()
+    pattern = _pattern(spokes_k=3 if name in ("rotation", "lookalikes") else 0)
+    # Lookalike distractors: same colors, same radial profile, same size —
+    # only the spoke harmonic differs (k=5/7 vs the target's 3). Their paths
+    # cross the target's search window around mid-clip: linear approach to a
+    # closest pass of ~1.6 target widths, then departure.
+    if name == "lookalikes":
+        look_pats = [_pattern(spokes_k=5), _pattern(spokes_k=7)]
+        look_dirs = [
+            np.asarray([1.0, -0.7]) / np.hypot(1.0, 0.7),
+            np.asarray([-0.6, 1.0]) / np.hypot(0.6, 1.0),
+        ]
+        t_mid = [int(num_frames * 0.45), int(num_frames * 0.65)]
 
     margin = max(tw, th)
     cx0, cy0 = width * 0.35, height * 0.4
@@ -142,7 +164,17 @@ def make_clip(
             # 8 deg/frame: too fast for template-EMA drift absorption
             # (which tracks ~3 deg/frame), well inside the trainer's
             # +/-26 deg/pair augmentation band.
-            pattern = _pattern(np.deg2rad(8.0) * t)
+            pattern = _pattern(np.deg2rad(8.0) * t, spokes_k=3)
+        if name == "lookalikes":
+            # Draw distractors FIRST so the target wins any overlap pixels.
+            for i, (pat, d, tm) in enumerate(zip(look_pats, look_dirs, t_mid)):
+                # Closest pass at t=tm: 1.6 target widths from the target,
+                # approaching/leaving at ~1.5x the target's speed.
+                gap = 1.6 * tw
+                off = d * (gap + 1.5 * speed * abs(t - tm))
+                dx = np.clip(cx + off[0], margin, width - margin)
+                dy = np.clip(cy + off[1], margin, height - margin)
+                _draw_target(f, dx, dy, tw, th, pat)
         if visible:
             _draw_target(f, cx, cy, tw, th, pattern)
         if name == "occlusion" and num_frames // 3 <= t < num_frames // 3 + max(5, num_frames // 6):

@@ -32,6 +32,9 @@ class SceneBatch(NamedTuple):
     p0: jax.Array  # [B, 2] target center in frame0 (x, y) px
     p1: jax.Array  # [B, 2] target center in frame1
     wh: jax.Array  # [B, 2] target box (w, h) px
+    d1: jax.Array  # [B, 2] distractor center in frame1 — ranked as an
+    # explicit hard negative (objective.py); for LOOKALIKE samples it sits
+    # inside the search window with the target's colors/size
 
 
 def _octave(key: jax.Array, size: int, cells: int, lo: float, hi: float) -> jax.Array:
@@ -49,6 +52,7 @@ def _paint_blob(
     enable: jax.Array,  # [] 0/1 (so vmapped samples can omit the blob)
     angle: jax.Array | float = 0.0,  # [] in-plane rotation (radians)
     spokes: jax.Array | float = 0.0,  # [] azimuthal harmonic amplitude
+    spoke_k: jax.Array | float = 3.0,  # [] azimuthal harmonic count
 ) -> jax.Array:
     """Composite a soft-edged textured rectangle (radial core + rim, plus
     an optional azimuthal 'spoke' harmonic). The radial components alone
@@ -68,7 +72,7 @@ def _paint_blob(
     rim = jnp.clip(r - 0.3, 0.0, 1.0)
     phi = jnp.arctan2(ry, rx)
     # Clamped so the final 0..255 clip doesn't flatten the modulation.
-    core = jnp.clip(core * (1.0 + spokes * jnp.cos(3.0 * phi)), 0.0, 1.0)
+    core = jnp.clip(core * (1.0 + spokes * jnp.cos(spoke_k * phi)), 0.0, 1.0)
     # Soft ~1px box edge: alpha ramps with px distance to the box border.
     dist_px = jnp.minimum(
         (1.0 - jnp.abs(rx)) * (wh[0] / 2.0), (1.0 - jnp.abs(ry)) * (wh[1] / 2.0)
@@ -111,6 +115,30 @@ def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
     d_wh = wh * jnp.exp(0.2 * jax.random.normal(ks[10], (2,)))
     d_drift = 3.0 * jax.random.normal(ks[11], (2,))
 
+    # --- LOOKALIKE mode (prob 0.35): the distractor clones the target's
+    # colors and size, differs only in spoke harmonic (k=5/7 vs 3), and
+    # sits INSIDE the search window at 1.3-2.3 target-widths from the true
+    # box (no overlap -> no label poisoning). This is the discrimination
+    # raw random projections cannot provide (same coarse color/shape); the
+    # io/synthetic.py `lookalikes` eval clip measures exactly it. Both
+    # objects carry spokes in this mode, else they'd be identical.
+    k_lk, k_lr, k_la, k_lkk = jax.random.split(jax.random.fold_in(key, 55), 4)
+    look_on = (jax.random.uniform(k_lk, ()) < 0.35).astype(jnp.float32)
+    look_r = jnp.max(wh) * jax.random.uniform(k_lr, (), minval=1.3, maxval=2.3)
+    look_th = jax.random.uniform(k_la, (), minval=0.0, maxval=2.0 * jnp.pi)
+    look_pos = jnp.clip(
+        p1 + look_r * jnp.stack([jnp.cos(look_th), jnp.sin(look_th)]),
+        0.08 * s,
+        0.92 * s,
+    )
+    look_k = jnp.where(jax.random.uniform(k_lkk, ()) < 0.5, 5.0, 7.0)
+    d_on = jnp.maximum(d_on, look_on)  # lookalike samples always have one
+    colors_d = jnp.where(look_on > 0, colors_t, colors_d)
+    d_wh = jnp.where(look_on > 0, wh, d_wh)
+    d_pos = jnp.where(look_on > 0, look_pos, d_pos)
+    d_drift = jnp.where(look_on > 0, jnp.zeros(2), d_drift)
+    d_spoke_k = jnp.where(look_on > 0, look_k, 3.0)
+
     # --- orientation: spoke texture + in-plane rotation between frames ----
     # Half the samples carry an azimuthal harmonic (orientation-bearing
     # pattern) at a random base angle. The template->search rotation delta
@@ -123,13 +151,20 @@ def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
     # the mixture keeps the sharp majority while the tail teaches the
     # invariance.
     k_sp, k_a0, k_da, k_wide = jax.random.split(jax.random.fold_in(key, 77), 4)
-    spoke_amp = jnp.where(jax.random.uniform(k_sp, ()) < 0.5, 0.6, 0.0)
+    # Lookalike samples force spokes ON (the harmonic count is the ONLY
+    # difference between target and distractor there).
+    spoke_amp = jnp.where(
+        (jax.random.uniform(k_sp, ()) < 0.5) | (look_on > 0), 0.6, 0.0
+    )
     ang0 = jax.random.uniform(k_a0, (), minval=0.0, maxval=2.0 * jnp.pi)
     band = jnp.where(jax.random.uniform(k_wide, ()) < 0.3, 0.45, 0.15)
     d_ang = band * jax.random.uniform(k_da, (), minval=-1.0, maxval=1.0)
 
     def compose(bg_img, tp, dp, tgain, ang):
-        f = _paint_blob(bg_img, dp, d_wh, colors_d, 1.0, d_on)
+        f = _paint_blob(
+            bg_img, dp, d_wh, colors_d, 1.0, d_on,
+            spokes=jnp.where(look_on > 0, 0.6, 0.0), spoke_k=d_spoke_k,
+        )
         return _paint_blob(
             f, tp, wh, colors_t, tgain, jnp.float32(1.0),
             angle=ang, spokes=spoke_amp,
@@ -174,6 +209,7 @@ def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
         p0=p0,
         p1=p1,
         wh=wh,
+        d1=d_pos + d_drift,
     )
 
 

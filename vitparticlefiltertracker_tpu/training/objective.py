@@ -48,6 +48,7 @@ def pair_loss(
     p0: jax.Array,  # [2] true center in frame0
     p1: jax.Array,  # [2] true center in frame1
     wh: jax.Array,  # [2] box size
+    d1: jax.Array,  # [2] distractor center in frame1 (hard negative)
     key: jax.Array,
     *,
     tau: float,
@@ -84,13 +85,19 @@ def pair_loss(
     # around the truth, scored in the same embedder call.
     n_cloud = cloud_particles if cloud_weight > 0.0 else 0
     cloud = p1[None, :] + cloud_sigma * jax.random.normal(k_cloud, (n_cloud, 2))
+    # The scene's distractor box is an EXPLICIT ranked negative: for
+    # lookalike samples (training/data.py look_on) it shares the target's
+    # colors/size inside the search window, so beating it requires pattern
+    # -level discrimination — the object-recognition capability the
+    # `lookalikes` eval clip measures. Out-of-window distractors are
+    # masked by `valid` like any candidate.
     cand = jnp.concatenate(
-        [p1[None], p1[None] + offs, rand, cloud], axis=0
+        [p1[None], p1[None] + offs, rand, d1[None], cloud], axis=0
     )  # [M, 2]
     pool1 = make_dense_embedder(prm, frame1, p0, side, es)
     emb1, valid = pool1(cand, jnp.broadcast_to(wh, cand.shape))
     cos = _cos_to_template(emb1, tmpl)  # [M]
-    n_rank = 1 + offs.shape[0] + num_random
+    n_rank = 1 + offs.shape[0] + num_random + 1
 
     logits = cos[:n_rank] / tau
     # Invalid (out-of-window) negatives drop out of the softmax; the true
@@ -103,6 +110,10 @@ def pair_loss(
         "acc": (jnp.argmax(logits) == 0).astype(jnp.float32),
         "cos_pos": cos[0],
         "cos_neg_max": jnp.max(jnp.where(valid[:n_rank], cos[:n_rank], -1.0)[1:]),
+        # Distractor-candidate cosine (last ranked slot); -1 when the
+        # distractor lies outside the window. Watch the pos-vs-distractor
+        # margin during lookalike training.
+        "cos_distractor": jnp.where(valid[n_rank - 1], cos[n_rank - 1], -1.0),
     }
 
     if n_cloud:
@@ -135,8 +146,8 @@ def pair_loss(
 def batch_loss(prm: dict, es: DenseEmbedSpec, batch, keys, **kw):
     """Mean loss over a SceneBatch; returns (loss, metrics means)."""
     losses, metrics = jax.vmap(
-        lambda f0, f1, p0, p1, wh, k: pair_loss(
-            prm, es, f0, f1, p0, p1, wh, k, **kw
+        lambda f0, f1, p0, p1, wh, d1, k: pair_loss(
+            prm, es, f0, f1, p0, p1, wh, d1, k, **kw
         )
-    )(batch.frame0, batch.frame1, batch.p0, batch.p1, batch.wh, keys)
+    )(batch.frame0, batch.frame1, batch.p0, batch.p1, batch.wh, batch.d1, keys)
     return jnp.mean(losses), {k: jnp.mean(v) for k, v in metrics.items()}

@@ -18,7 +18,12 @@ import numpy as np
 
 def make_probe(
     train_cfg,
-    clips: tuple[str, ...] = ("moving-square", "photometric", "rotation"),
+    clips: tuple[str, ...] = (
+        "moving-square",
+        "photometric",
+        "rotation",
+        "lookalikes",
+    ),
     frames: int = 32,
     frame_size: tuple[int, int] = (480, 640),
     num_particles: int = 512,

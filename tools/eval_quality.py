@@ -254,14 +254,20 @@ def render_quality_md() -> None:
             "selection against the real tracker (training/probe.py), a "
             "closed-loop posterior-mean loss (train.cloud_weight) — and "
             "the step-0 probe logs random init at 1.46 px under identical "
-            "settings while every trained checkpoint probes worse: on this "
-            "domain there is nothing left to learn. What training provides "
-            "is the machinery, proven correct end-to-end, for targets that "
-            "are NOT procedural rigid patches: the augmentation bands "
-            "(training/data.py), feature-agnostic gates that transfer "
-            "across checkpoints, and the torch-parity-tested importer "
-            "(tools/import_vit.py) for real pretrained backbones on "
-            "natural video (this rig has no network egress).\n"
+            "settings while every trained checkpoint probes worse: on "
+            "single-target matched-filter clips there is nothing left to "
+            "learn. The `lookalikes` family is the counter-case BUILT to "
+            "need learning (reference README.md:7 'object recognition'): "
+            "distractors share the target's colors/size and differ only in "
+            "pattern detail, which raw random projections blur together "
+            "while features trained with lookalike hard negatives "
+            "(training/data.py look_on) must separate. Training also "
+            "provides the machinery for targets that are NOT procedural "
+            "rigid patches: the augmentation bands (training/data.py), "
+            "feature-agnostic gates that transfer across checkpoints, and "
+            "the torch-parity-tested importer (tools/import_vit.py) for "
+            "real pretrained backbones on natural video (this rig has no "
+            "network egress).\n"
         )
     print(f"wrote {md}", file=sys.stderr)
 

@@ -110,10 +110,12 @@ def pair_loss(
         "acc": (jnp.argmax(logits) == 0).astype(jnp.float32),
         "cos_pos": cos[0],
         "cos_neg_max": jnp.max(jnp.where(valid[:n_rank], cos[:n_rank], -1.0)[1:]),
-        # Distractor-candidate cosine (last ranked slot); -1 when the
-        # distractor lies outside the window. Watch the pos-vs-distractor
-        # margin during lookalike training.
-        "cos_distractor": jnp.where(valid[n_rank - 1], cos[n_rank - 1], -1.0),
+        # Distractor-candidate cosine (last ranked slot), zeroed when the
+        # distractor lies outside the window. The batch means divide out:
+        # mean-over-valid = cos_distractor / distractor_valid. Watch the
+        # pos-vs-distractor margin during lookalike training.
+        "cos_distractor": jnp.where(valid[n_rank - 1], cos[n_rank - 1], 0.0),
+        "distractor_valid": valid[n_rank - 1].astype(jnp.float32),
     }
 
     if n_cloud:

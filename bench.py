@@ -20,7 +20,8 @@ from vitparticlefiltertracker_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 _PROBE = (
-    "import jax, numpy as np; x = jax.device_put(np.arange(8, np.float32));"
+    "import jax, numpy as np;"
+    " x = jax.device_put(np.arange(8, dtype=np.float32));"
     " assert float(np.asarray(x * 2)[3]) == 6.0"
 )
 

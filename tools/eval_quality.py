@@ -72,6 +72,15 @@ CLIP_OVERRIDES = {
         "tracker.redetect_accept_z": "3.0",
     },
     "surveillance": {"filter.motion.sigma_pos": "4.0"},
+    # Lookalikes runs the SAME robustness stack as occlusion: the clip
+    # hides the target while an impostor shadows it, so the global scan
+    # must judge the impostor on pattern detail alone (io/synthetic.py).
+    "lookalikes": {
+        "filter.lost_conf_ratio": "0.55",
+        "tracker.redetect_global_after": "4",
+        "tracker.redetect_accept_ratio": "0.35",
+        "tracker.redetect_accept_z": "3.0",
+    },
     "teleport": {
         "filter.lost_conf_ratio": "0.55",
         "tracker.redetect_global_after": "3",

@@ -72,14 +72,23 @@ def make_clip(
                         raw pixel correlation against a fixed template
                         decays with angle; features trained with the
                         rotation augmentation (training/data.py) must not.
-      lookalikes      — two same-color same-size distractors whose paths
-                        cross through the target's search window mid-clip;
-                        they differ from the target only in the azimuthal
-                        harmonic of their internal pattern (k=5/7 spokes vs
-                        the target's 3). The object-RECOGNITION stressor
-                        (reference README.md:7, surveillance README.md:50):
-                        coarse color/size/shape match, so discrimination
-                        must come from pattern detail.
+      lookalikes      — the object-RECOGNITION stressor (reference
+                        README.md:7, surveillance README.md:50): a
+                        same-color same-size IMPOSTOR (k=5 spoke harmonic
+                        vs the target's 3) moves in and SHADOWS the target
+                        inside its search window; mid-clip an occluder bar
+                        hides the TARGET only, for ~8 frames. With the lost
+                        gate + global re-detection enabled (the occlusion
+                        robustness stack), the whole-frame scan sees only
+                        the impostor while the target is hidden — whether
+                        the tracker false-locks on it (and stays stuck
+                        after the target re-emerges) is decided purely by
+                        how well the features separate clone pattern
+                        detail, NOT by the motion prior. A second k=7
+                        distractor crosses later. The particle filter's
+                        locality defends ordinary crossings (measured:
+                        random-init ViT-B tracks a plain crossing at
+                        1.6 px); this clip removes that defense.
     """
     rng = np.random.default_rng(seed)
     bg = _textured_background(rng, height, width)
@@ -125,17 +134,24 @@ def make_clip(
         )
 
     pattern = _pattern(spokes_k=3 if name in ("rotation", "lookalikes") else 0)
-    # Lookalike distractors: same colors, same radial profile, same size —
-    # only the spoke harmonic differs (k=5/7 vs the target's 3). Their paths
-    # cross the target's search window around mid-clip: linear approach to a
-    # closest pass of ~1.6 target widths, then departure.
+    # Lookalike distractors (same colors, size, radial profile):
+    #   #1 the IMPOSTOR — k=5 spoke harmonic, approaches until lk_hold and
+    #      then shadows the target permanently at ~1.4 target widths,
+    #      offset mostly in +x so the target-covering occluder bar (width
+    #      tw, tracking the target) never touches it;
+    #   #2 a k=7-harmonic distractor crossing later.
+    # The occluder bar hides the TARGET for lk_occ..lk_occ+lk_span frames —
+    # while it is hidden the impostor is the scene's only template-like
+    # object, so global re-detection must judge it on pattern detail alone.
     if name == "lookalikes":
         look_pats = [_pattern(spokes_k=5), _pattern(spokes_k=7)]
         look_dirs = [
-            np.asarray([1.0, -0.7]) / np.hypot(1.0, 0.7),
+            np.asarray([1.0, 0.25]) / np.hypot(1.0, 0.25),
             np.asarray([-0.6, 1.0]) / np.hypot(0.6, 1.0),
         ]
-        t_mid = [int(num_frames * 0.45), int(num_frames * 0.65)]
+        lk_hold = int(num_frames * 0.3)
+        lk_occ, lk_span = int(num_frames * 0.42), max(5, num_frames // 6)
+        t_mid = [lk_hold, int(num_frames * 0.8)]
 
     margin = max(tw, th)
     cx0, cy0 = width * 0.35, height * 0.4
@@ -167,16 +183,25 @@ def make_clip(
             pattern = _pattern(np.deg2rad(8.0) * t, spokes_k=3)
         if name == "lookalikes":
             # Draw distractors FIRST so the target wins any overlap pixels.
-            for i, (pat, d, tm) in enumerate(zip(look_pats, look_dirs, t_mid)):
-                # Closest pass at t=tm: 1.6 target widths from the target,
-                # approaching/leaving at ~1.5x the target's speed.
-                gap = 1.6 * tw
-                off = d * (gap + 1.5 * speed * abs(t - tm))
-                dx = np.clip(cx + off[0], margin, width - margin)
-                dy = np.clip(cy + off[1], margin, height - margin)
-                _draw_target(f, dx, dy, tw, th, pat)
+            gap = 1.4 * tw
+            # Impostor: approach until lk_hold, then shadow permanently.
+            off = look_dirs[0] * (gap + 1.5 * speed * max(0.0, t_mid[0] - t))
+            dx = np.clip(cx + off[0], margin, width - margin)
+            dy = np.clip(cy + off[1], margin, height - margin)
+            _draw_target(f, dx, dy, tw, th, look_pats[0])
+            # Crossing k=7 distractor.
+            off = look_dirs[1] * (gap + 1.5 * speed * abs(t - t_mid[1]))
+            dx = np.clip(cx + off[0], margin, width - margin)
+            dy = np.clip(cy + off[1], margin, height - margin)
+            _draw_target(f, dx, dy, tw, th, look_pats[1])
         if visible:
             _draw_target(f, cx, cy, tw, th, pattern)
+        if name == "lookalikes" and lk_occ <= t < lk_occ + lk_span:
+            # Target-covering bar (width tw, full height, tracks the
+            # target): hides the target box exactly; the impostor sits
+            # ~1.36*tw away in +x, outside the bar.
+            ox = int(cx - tw / 2)
+            f[:, max(0, ox) : max(0, ox) + tw] = np.array([90.0, 90.0, 90.0])
         if name == "occlusion" and num_frames // 3 <= t < num_frames // 3 + max(5, num_frames // 6):
             # occluder bar sweeps across the target region
             ox = int(cx - tw)

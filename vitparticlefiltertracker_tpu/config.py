@@ -353,6 +353,14 @@ class TrainConfig:
     cloud_particles: int = 64  # cloud candidates per pair
     cloud_sigma: float = 8.0  # cloud spread around truth (px)
     cloud_zscale: float = 9.0  # zcos sharpness (match filter.likelihood_zscale)
+    # Ratio-margin loss on the scene's (lookalike) distractor candidate:
+    # push its cosine below distractor_margin * cos(true box). The
+    # tracker's escape from an impostor false-lock is decided by RELATIVE
+    # gates (filter.lost_conf_ratio 0.55, redetect_accept_ratio 0.35), so
+    # the margin targets that ratio directly; 0.45 sits safely below the
+    # 0.55 lost gate. distractor_weight 0 disables.
+    distractor_margin: float = 0.45
+    distractor_weight: float = 2.0
     seed: int = 0
     checkpoint_out: str = "checkpoints/vit_trained.npz"
     # Storage dtype for the saved checkpoint: "float32" keeps the AdamW

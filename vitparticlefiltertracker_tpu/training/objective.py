@@ -59,6 +59,8 @@ def pair_loss(
     cloud_particles: int = 64,
     cloud_sigma: float = 8.0,
     cloud_zscale: float = 9.0,
+    distractor_margin: float = 0.0,
+    distractor_weight: float = 0.0,
 ) -> tuple[jax.Array, dict]:
     """One sample's InfoNCE loss + metrics; vmapped over the batch."""
     k_jit, k_rand, k_cloud = jax.random.split(key, 3)
@@ -117,6 +119,22 @@ def pair_loss(
         "cos_distractor": jnp.where(valid[n_rank - 1], cos[n_rank - 1], 0.0),
         "distractor_valid": valid[n_rank - 1].astype(jnp.float32),
     }
+
+    if distractor_weight > 0.0:
+        # Ratio-margin on the distractor: the tracker's RELATIVE gates
+        # (filter.lost_conf_ratio 0.55, redetect_accept_ratio 0.35) compare
+        # a candidate's cosine to the locked confidence — a tracker stuck
+        # on an impostor only escapes if the impostor's cosine sits BELOW
+        # that fraction of the true match. InfoNCE separates the ranking
+        # but not this ratio, so push the clone below margin*cos_pos
+        # explicitly (stop_gradient: suppress the clone, don't inflate the
+        # positive). See io/synthetic.py `lookalikes`.
+        d_cos = cos[n_rank - 1]
+        viol = jnp.maximum(
+            0.0,
+            d_cos - distractor_margin * jax.lax.stop_gradient(cos[0]),
+        )
+        loss = loss + distractor_weight * jnp.where(valid[n_rank - 1], viol, 0.0)
 
     if n_cloud:
         # Closed-loop posterior-mean loss (round-3 diagnosis): the round-2

@@ -94,6 +94,8 @@ def build_train_step(cfg, mesh=None):
         cloud_particles=tr.cloud_particles,
         cloud_sigma=tr.cloud_sigma,
         cloud_zscale=tr.cloud_zscale,
+        distractor_margin=tr.distractor_margin,
+        distractor_weight=tr.distractor_weight,
     )
     if mesh is not None and tr.batch_size % mesh.shape["data"] != 0:
         raise ValueError(

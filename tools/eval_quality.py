@@ -78,7 +78,14 @@ CLIP_OVERRIDES = {
     "lookalikes": {
         "filter.lost_conf_ratio": "0.55",
         "tracker.redetect_global_after": "4",
-        "tracker.redetect_accept_ratio": "0.35",
+        # Impostor-aware gates: the clip's lookalike probes at ~0.84x the
+        # locked EMA with trained features (~0.93x with random init), so
+        # re-lock and re-detect acceptance must demand near-baseline
+        # confidence — the true target re-probes at ~1.0x. A 0.35 accept
+        # ratio (teleport's) re-seeds ONTO the impostor during the
+        # occlusion window.
+        "tracker.relock_conf_ratio": "0.9",
+        "tracker.redetect_accept_ratio": "0.85",
         "tracker.redetect_accept_z": "3.0",
     },
     "teleport": {

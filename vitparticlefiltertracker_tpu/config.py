@@ -215,6 +215,20 @@ class TrackerConfig:
     # their locked cosine sits below the 0.25 absolute gate tuned on random
     # init. Skipped while the EMA is unseeded (never locked). 0 disables.
     redetect_accept_ratio: float = 0.0
+    # Lost-flag HYSTERESIS: once lost, clearing the flag through the
+    # confidence path requires conf >= relock_conf_ratio * conf_ema —
+    # stricter than the lost_conf_ratio that set it. Without it the flag
+    # clears the moment ANY in-window object scores above the (loose) lost
+    # gate, so a same-color impostor that the cloud drifted onto during an
+    # occlusion silently becomes the new lock (measured on the `lookalikes`
+    # clip: the impostor probes at ~0.84x the locked EMA — above the 0.55
+    # lost gate, below a 0.9 re-lock bar — while the true target re-probes
+    # at ~1.0x; random-init features put the impostor at ~0.93x, inside
+    # measurement noise of the true match, so no workable bar exists —
+    # discriminative TRAINED features are what make this gate effective).
+    # Global re-detection acceptance still clears the flag explicitly
+    # (raise redetect_accept_ratio to match). 0 disables (no hysteresis).
+    relock_conf_ratio: float = 0.0
     estimate: str = "mean"  # "mean" | "mode" (highest-weight particle)
     # Lost-aware output coasting (runtime/tracker.py): while lost the
     # REPORTED position extrapolates from the last-locked state. The coast
@@ -241,6 +255,8 @@ class TrackerConfig:
             raise ValueError("tracker.estimate must be 'mean' or 'mode'")
         if not 0.0 <= self.coast_accel_ema <= 1.0:
             raise ValueError("tracker.coast_accel_ema must be in [0, 1]")
+        if self.relock_conf_ratio < 0.0:
+            raise ValueError("tracker.relock_conf_ratio must be >= 0")
         if self.appearance not in ("pooled", "cells"):
             raise ValueError("tracker.appearance must be 'pooled' or 'cells'")
         return self
@@ -361,6 +377,15 @@ class TrainConfig:
     # 0.55 lost gate. distractor_weight 0 disables.
     distractor_margin: float = 0.45
     distractor_weight: float = 2.0
+    # Self-centered distractor loss: one extra window embed CENTERED ON the
+    # distractor, hinging its cosine below distractor_margin x cos(true)
+    # and ranking the true box above it within that window. This is the
+    # false-lock / re-detection geometry: with the window centered on a
+    # lookalike clone, window-mean centering no longer shares the true
+    # target's context and the clone's cosine jumps (measured 0.5 -> 0.77
+    # on the lookalikes clip) — the shared-window terms above never train
+    # it. ~+33% step cost (one more ViT forward per pair). 0 disables.
+    distractor_centered_weight: float = 1.0
     seed: int = 0
     checkpoint_out: str = "checkpoints/vit_trained.npz"
     # Storage dtype for the saved checkpoint: "float32" keeps the AdamW

@@ -192,6 +192,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
     use_znorm = cfg.filter.likelihood == "zcos"
     lost_thresh = cfg.filter.lost_conf_threshold
     lost_ratio = cfg.filter.lost_conf_ratio
+    relock_ratio = cfg.tracker.relock_conf_ratio
     t = cfg.tracker
     mode = t.mode
     s_img = cfg.model.image_size if mode == "dense" else t.crop_size
@@ -401,6 +402,16 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         conf_base = jnp.where(unseeded, conf_gate, state.conf_ema)
         if lost_ratio > 0.0:
             lost = lost | (conf_gate < lost_ratio * conf_base)
+        if relock_ratio > 0.0:
+            # Hysteresis (tracker.relock_conf_ratio): a lost tracker only
+            # re-locks through confidence when the unboosted probe clears a
+            # STRICTER bar than the one that keeps a lock. Otherwise the
+            # first in-window object above the loose lost gate — e.g. a
+            # lookalike impostor the boosted cloud drifted onto — becomes
+            # the new lock with no appearance scrutiny at all. Global
+            # re-detection acceptance below still clears the flag on its
+            # own (ratio+z gated) terms.
+            lost = lost | (state.lost & (conf_gate < relock_ratio * conf_base))
         # Adopt the first NON-lost confidence as the baseline; while lost the
         # EMA is frozen (and stays at the -1 sentinel if never yet locked),
         # so a start-of-track occlusion can't seed a depressed baseline that
@@ -549,8 +560,22 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             # distribution down, and repeated re-seeds (each resetting the
             # cloud) wobble the estimate indefinitely. If the match was
             # wrong, conf stays low and lost re-fires one frame later.
+            # EXCEPT under re-lock hysteresis (tracker.relock_conf_ratio):
+            # scan-tile cosines are not on the probe's scale (different
+            # window content shifts the window-mean centering — measured
+            # 0.68 for an impostor the probe scores at 0.42), so during an
+            # occlusion the scan's EMA-ratio gate cannot reject a lookalike
+            # that is the only template-like object in frame. Acceptance
+            # then still re-seeds the cloud and re-aims the window, but the
+            # flag clears only when the NEXT step's unboosted probe at the
+            # re-seeded estimate clears relock_conf_ratio * conf_ema — a
+            # wrong re-seed keeps scanning (lost_count was reset, so the
+            # scan re-arms) and snaps to the true target once visible.
             scale_frozen = lost  # prev_scale: pre-reseed estimate is stale
-            lost = lost & ~accept
+            if relock_ratio > 0.0:
+                pass  # hysteresis owns ALL re-locks (see above)
+            else:
+                lost = lost & ~accept
             accepted = accept
             accept_xy = best_xy
         else:

@@ -35,6 +35,8 @@ class SceneBatch(NamedTuple):
     d1: jax.Array  # [B, 2] distractor center in frame1 — ranked as an
     # explicit hard negative (objective.py); for LOOKALIKE samples it sits
     # inside the search window with the target's colors/size
+    look_on: jax.Array  # [B] 1.0 where the distractor is a lookalike clone
+    # (so the objective can weight/report the hard subset separately)
 
 
 def _octave(key: jax.Array, size: int, cells: int, lo: float, hi: float) -> jax.Array:
@@ -210,6 +212,7 @@ def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
         p1=p1,
         wh=wh,
         d1=d_pos + d_drift,
+        look_on=look_on,
     )
 
 

@@ -49,6 +49,7 @@ def pair_loss(
     p1: jax.Array,  # [2] true center in frame1
     wh: jax.Array,  # [2] box size
     d1: jax.Array,  # [2] distractor center in frame1 (hard negative)
+    look_on: jax.Array,  # [] 1.0 when the distractor is a lookalike clone
     key: jax.Array,
     *,
     tau: float,
@@ -61,6 +62,7 @@ def pair_loss(
     cloud_zscale: float = 9.0,
     distractor_margin: float = 0.0,
     distractor_weight: float = 0.0,
+    distractor_centered_weight: float = 0.0,
 ) -> tuple[jax.Array, dict]:
     """One sample's InfoNCE loss + metrics; vmapped over the batch."""
     k_jit, k_rand, k_cloud = jax.random.split(key, 3)
@@ -136,6 +138,42 @@ def pair_loss(
         )
         loss = loss + distractor_weight * jnp.where(valid[n_rank - 1], viol, 0.0)
 
+    if distractor_centered_weight > 0.0:
+        # SELF-CENTERED distractor geometry (the false-lock/re-detection
+        # case): when the particle cloud has drifted onto a lookalike, the
+        # search window centers ON the clone — a window content the terms
+        # above never produce (their window centers at p0, near the true
+        # box). Window-mean centering then removes the shared background
+        # component differently, and round-3 measured the clone's cosine
+        # JUMPING from ~0.5 (shared window) to ~0.77 (self-centered) on the
+        # `lookalikes` eval clip — above the tracker's re-lock bar. So
+        # embed one extra window centered at d1 and (a) hinge the clone's
+        # self-centered cosine below distractor_margin x the true box's
+        # own cosine, (b) rank the true box ABOVE the clone within this
+        # window when both are visible — exactly the decision the tiled
+        # global re-detection makes.
+        poold = make_dense_embedder(prm, frame1, d1, side, es)
+        embd, validd = poold(
+            jnp.stack([d1, p1]), jnp.broadcast_to(wh, (2, 2))
+        )
+        cos_d = _cos_to_template(embd, tmpl)  # [2]: clone, true
+        viol_c = jnp.maximum(
+            0.0, cos_d[0] - distractor_margin * jax.lax.stop_gradient(cos[0])
+        )
+        logits_d = jnp.where(
+            validd | (jnp.arange(2) == 1), cos_d / tau, -1e9
+        )
+        rank_c = -jax.nn.log_softmax(logits_d)[1]
+        loss = loss + distractor_centered_weight * (
+            viol_c + jnp.where(validd[1], rank_c, 0.0)
+        )
+        metrics["cos_dc_clone"] = cos_d[0]
+        # Lookalike-subset telemetry: batch-mean of value*look_on divides
+        # by batch-mean of look_on to give the hard-subset average.
+        metrics["cos_dc_clone_look"] = cos_d[0] * look_on
+        metrics["cos_dc_true_look"] = cos_d[1] * look_on
+        metrics["look_frac"] = look_on
+
     if n_cloud:
         # Closed-loop posterior-mean loss (round-3 diagnosis): the round-2
         # checkpoint RANKED candidates at 0.94 accuracy yet tracked ~2x
@@ -166,8 +204,11 @@ def pair_loss(
 def batch_loss(prm: dict, es: DenseEmbedSpec, batch, keys, **kw):
     """Mean loss over a SceneBatch; returns (loss, metrics means)."""
     losses, metrics = jax.vmap(
-        lambda f0, f1, p0, p1, wh, d1, k: pair_loss(
-            prm, es, f0, f1, p0, p1, wh, d1, k, **kw
+        lambda f0, f1, p0, p1, wh, d1, lk, k: pair_loss(
+            prm, es, f0, f1, p0, p1, wh, d1, lk, k, **kw
         )
-    )(batch.frame0, batch.frame1, batch.p0, batch.p1, batch.wh, batch.d1, keys)
+    )(
+        batch.frame0, batch.frame1, batch.p0, batch.p1, batch.wh,
+        batch.d1, batch.look_on, keys,
+    )
     return jnp.mean(losses), {k: jnp.mean(v) for k, v in metrics.items()}

@@ -96,6 +96,7 @@ def build_train_step(cfg, mesh=None):
         cloud_zscale=tr.cloud_zscale,
         distractor_margin=tr.distractor_margin,
         distractor_weight=tr.distractor_weight,
+        distractor_centered_weight=tr.distractor_centered_weight,
     )
     if mesh is not None and tr.batch_size % mesh.shape["data"] != 0:
         raise ValueError(

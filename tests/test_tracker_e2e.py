@@ -297,6 +297,49 @@ def test_relative_lost_gate():
     assert not lost[-4:].all(), lost
 
 
+def test_relock_hysteresis_blocks_marginal_relock():
+    """tracker.relock_conf_ratio: once lost, the flag must NOT clear on a
+    marginally-confident match (the false-lock geometry: a lookalike
+    impostor the boosted cloud drifted onto probes above the loose lost
+    gate), but must still clear once full-confidence tracking returns.
+    Blank frames force lost; noise-blended frames then give a marginal
+    confidence band (above the 0.4 lost gate x baseline, below the 0.6
+    re-lock bar); clean frames restore full confidence."""
+
+    def run(relock):
+        cfg = Config.from_dict({
+            "model": {"variant": "vit-t16", "image_size": 64,
+                      "dtype": "float32", "use_flash_attention": False},
+            "filter": {"num_particles": 256, "lost_conf_ratio": 0.4},
+            "tracker": {"mode": "dense", "relock_conf_ratio": relock},
+        })
+        src = open_source("synthetic:moving-square", 24, (192, 192))
+        frames = list(src)
+        rng = np.random.default_rng(0)
+        for t in range(8, 12):  # dropout: forces the lost gate
+            frames[t] = np.full_like(frames[t], 120)
+        for t in range(12, 17):  # marginal band: noise-degraded target
+            n = rng.integers(0, 255, frames[t].shape).astype(np.float32)
+            frames[t] = (0.35 * frames[t].astype(np.float32) + 0.65 * n
+                         ).astype(np.uint8)
+        tr = Tracker(cfg)
+        tr.init(frames[0], src.init_bbox)
+        return np.array([tr.step(f)["lost"] for f in frames[1:]])
+
+    lost_off = run(0.0)
+    lost_hys = run(0.6)
+    # Both trip on the blank frames (recs[i] <- frames[i+1]).
+    assert lost_off[8:11].all() and lost_hys[8:11].all()
+    # Without hysteresis the marginal noise band re-locks at least once —
+    # the failure mode: any in-window object above the loose gate becomes
+    # the new lock with no appearance scrutiny.
+    assert not lost_off[12:19].all(), lost_off
+    # With it the flag holds through the ENTIRE marginal band...
+    assert lost_hys[11:19].all(), lost_hys
+    # ...and still clears once clean full-confidence frames return.
+    assert not lost_hys[-3:].all(), lost_hys
+
+
 def test_banked_multitracker():
     from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
 

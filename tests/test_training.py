@@ -162,3 +162,38 @@ def test_train_features_metrics_out_writes_jsonl(tmp_path):
     assert len(rows) == 2
     assert all("loss" in r and np.isfinite(r["loss"]) for r in rows)
     assert rows[-1]["step"] == 4
+
+
+def test_probe_applies_lookalikes_robustness_gates():
+    """training/probe.py PROBE_OVERRIDES: the lookalikes probe must run
+    under the eval's robustness stack (relative lost gate, global
+    re-detection, re-lock hysteresis) — without it checkpoint selection
+    measures drift-onto-impostor with no escape path — while ungated clips
+    share one plain tracker. Tiny geometry keeps the probe a few seconds."""
+    from vitparticlefiltertracker_tpu.models.vit import init_vit_params
+    from vitparticlefiltertracker_tpu.models.embedder import DenseEmbedSpec
+    from vitparticlefiltertracker_tpu.training.probe import (
+        PROBE_OVERRIDES,
+        make_probe,
+    )
+
+    assert "tracker.relock_conf_ratio" in PROBE_OVERRIDES["lookalikes"]
+    cfg = Config.from_dict({
+        "model": {"variant": "vit-t16", "image_size": 64,
+                  "dtype": "float32", "use_flash_attention": False},
+        "train": {"batch_size": 4, "canvas": 96, "window": 64},
+    })
+    probe = make_probe(
+        cfg,
+        clips=("moving-square", "lookalikes"),
+        frames=5,
+        frame_size=(128, 128),
+        num_particles=64,
+        image_size=64,
+    )
+    params = init_vit_params(
+        jax.random.PRNGKey(0), DenseEmbedSpec.from_config(cfg).vit
+    )
+    out = probe(params)
+    assert set(out) == {"probe_moving-square", "probe_lookalikes", "probe_rmse"}
+    assert all(np.isfinite(v) for v in out.values())

@@ -87,6 +87,8 @@ def make_dense_embedder(
     center: jax.Array,  # [2] (x, y) search-window center, frame px
     side: jax.Array,  # [] window side, frame px
     es: DenseEmbedSpec,
+    *,
+    remat: bool = False,
 ) -> Callable:
     """One ViT forward on the search window; the returned pool() ROI-pools
     any number of box sets from the token grid.
@@ -104,7 +106,14 @@ def make_dense_embedder(
     window = normalize_window(
         view_extract_window_mxu(_as_view(frame_f32), center, side, s_img)
     )
-    feat = vit_forward_tokens(prm, window[None], spec)[0]
+    fwd = lambda p, w: vit_forward_tokens(p, w[None], spec)[0]
+    if remat:
+        # Rematerialize the window forward on the backward pass (training
+        # only — inference never differentiates through the embedder). The
+        # objective embeds 3+ windows per sample x batch; without remat the
+        # saved per-block activations OOM ViT-B training on a 16G chip.
+        fwd = jax.checkpoint(fwd)
+    feat = fwd(prm, window)
     feat = feat.reshape(grid, grid, spec.dim)
     # Window's shared-context component (see ops/likelihood.py:
     # center_embeddings) — template and particles are centered by the same

@@ -75,7 +75,7 @@ def pair_loss(
     # Template from frame0 at the true box, jittered to mimic the imperfect
     # estimates the tracker feeds its template EMA.
     t_xy = p0 + template_jitter * wh * jax.random.normal(k_jit, (2,))
-    pool0 = make_dense_embedder(prm, frame0, p0, side, es)
+    pool0 = make_dense_embedder(prm, frame0, p0, side, es, remat=True)
     emb0, _ = pool0(t_xy[None], wh[None])
     tmpl = l2_normalize(emb0[0].astype(jnp.float32))
 
@@ -98,7 +98,7 @@ def pair_loss(
     cand = jnp.concatenate(
         [p1[None], p1[None] + offs, rand, d1[None], cloud], axis=0
     )  # [M, 2]
-    pool1 = make_dense_embedder(prm, frame1, p0, side, es)
+    pool1 = make_dense_embedder(prm, frame1, p0, side, es, remat=True)
     emb1, valid = pool1(cand, jnp.broadcast_to(wh, cand.shape))
     cos = _cos_to_template(emb1, tmpl)  # [M]
     n_rank = 1 + offs.shape[0] + num_random + 1
@@ -152,7 +152,7 @@ def pair_loss(
         # own cosine, (b) rank the true box ABOVE the clone within this
         # window when both are visible — exactly the decision the tiled
         # global re-detection makes.
-        poold = make_dense_embedder(prm, frame1, d1, side, es)
+        poold = make_dense_embedder(prm, frame1, d1, side, es, remat=True)
         embd, validd = poold(
             jnp.stack([d1, p1]), jnp.broadcast_to(wh, (2, 2))
         )

@@ -197,3 +197,28 @@ def test_probe_applies_lookalikes_robustness_gates():
     out = probe(params)
     assert set(out) == {"probe_moving-square", "probe_lookalikes", "probe_rmse"}
     assert all(np.isfinite(v) for v in out.values())
+
+
+def test_freeze_prefix_pins_early_layers():
+    """train.freeze_prefix: patch/pos embed and the first N stacked blocks
+    must be BITWISE untouched (including AdamW's decoupled weight decay),
+    while the top blocks and final LN train."""
+    cfg = tiny_train_cfg(steps=3, freeze_prefix=1)
+    init_fn, step_fn = build_train_step(cfg)
+    params, opt = init_fn()
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+    step_jit = jax.jit(step_fn)
+    for i in range(3):
+        params, opt, _ = step_jit(params, opt, jnp.int32(i))
+    params = jax.device_get(params)
+    assert np.array_equal(p0["patch_embed"]["kernel"], params["patch_embed"]["kernel"])
+    assert np.array_equal(p0["pos_embed"], params["pos_embed"])
+    # Block 0 frozen (leading depth-axis slice), block 1 trained.
+    assert np.array_equal(
+        p0["blocks"]["attn"]["wqkv"][0], params["blocks"]["attn"]["wqkv"][0]
+    )
+    assert not np.array_equal(
+        p0["blocks"]["attn"]["wqkv"][1], params["blocks"]["attn"]["wqkv"][1]
+    )
+    with np.testing.assert_raises(ValueError):
+        build_train_step(tiny_train_cfg(freeze_prefix=2))  # depth 2 model

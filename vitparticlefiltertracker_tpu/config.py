@@ -386,6 +386,13 @@ class TrainConfig:
     # on the lookalikes clip) — the shared-window terms above never train
     # it. ~+33% step cost (one more ViT forward per pair). 0 disables.
     distractor_centered_weight: float = 1.0
+    # Freeze the patch/pos embed and the first N transformer blocks; train
+    # only the top depth-N blocks (+ final LN). Preserves the seeded
+    # random-basis matched filter (the measured quality frontier on
+    # matched-filter clips — docs/QUALITY.md) while the trained top adds
+    # the pattern-level discrimination the lookalike gates need. 0 trains
+    # the full backbone.
+    freeze_prefix: int = 0
     seed: int = 0
     checkpoint_out: str = "checkpoints/vit_trained.npz"
     # Storage dtype for the saved checkpoint: "float32" keeps the AdamW

@@ -95,13 +95,21 @@ def pair_loss(
     # -level discrimination — the object-recognition capability the
     # `lookalikes` eval clip measures. Out-of-window distractors are
     # masked by `valid` like any candidate.
+    # Clone-ring boxes: the overlapping-radii offsets (0.3, 0.55 x 8 dirs)
+    # placed ON the distractor. The filter consumes the cosine LANDSCAPE,
+    # so suppressing only the exact clone box leaves its slightly-offset
+    # neighbours peaking high (run-A round 3: training-set clone cosine
+    # 0.15, eval tracker still locked the impostor).
+    n_dring = 16
+    d_ring = d1[None, :] + offs[:n_dring]
     cand = jnp.concatenate(
-        [p1[None], p1[None] + offs, rand, d1[None], cloud], axis=0
+        [p1[None], p1[None] + offs, rand, d1[None], d_ring, cloud], axis=0
     )  # [M, 2]
     pool1 = make_dense_embedder(prm, frame1, p0, side, es, remat=True)
     emb1, valid = pool1(cand, jnp.broadcast_to(wh, cand.shape))
     cos = _cos_to_template(emb1, tmpl)  # [M]
     n_rank = 1 + offs.shape[0] + num_random + 1
+    i_cloud = n_rank + n_dring  # cloud slice starts after the clone ring
 
     logits = cos[:n_rank] / tau
     # Invalid (out-of-window) negatives drop out of the softmax; the true
@@ -130,13 +138,16 @@ def pair_loss(
         # that fraction of the true match. InfoNCE separates the ranking
         # but not this ratio, so push the clone below margin*cos_pos
         # explicitly (stop_gradient: suppress the clone, don't inflate the
-        # positive). See io/synthetic.py `lookalikes`.
-        d_cos = cos[n_rank - 1]
+        # positive). The hinge takes the PEAK over the clone box and its
+        # ring (see d_ring above): suppress the clone's local cosine
+        # landscape, not one sample of it. See io/synthetic.py `lookalikes`.
+        d_valid = valid[n_rank - 1 : i_cloud]
+        d_peak = jnp.max(jnp.where(d_valid, cos[n_rank - 1 : i_cloud], -1.0))
         viol = jnp.maximum(
             0.0,
-            d_cos - distractor_margin * jax.lax.stop_gradient(cos[0]),
+            d_peak - distractor_margin * jax.lax.stop_gradient(cos[0]),
         )
-        loss = loss + distractor_weight * jnp.where(valid[n_rank - 1], viol, 0.0)
+        loss = loss + distractor_weight * jnp.where(jnp.any(d_valid), viol, 0.0)
 
     if distractor_centered_weight > 0.0:
         # SELF-CENTERED distractor geometry (the false-lock/re-detection
@@ -153,19 +164,23 @@ def pair_loss(
         # window when both are visible — exactly the decision the tiled
         # global re-detection makes.
         poold = make_dense_embedder(prm, frame1, d1, side, es, remat=True)
-        embd, validd = poold(
-            jnp.stack([d1, p1]), jnp.broadcast_to(wh, (2, 2))
-        )
-        cos_d = _cos_to_template(embd, tmpl)  # [2]: clone, true
+        # [clone, clone ring..., true]: hinge the clone-landscape PEAK, and
+        # rank the true box above every clone-region box in this window.
+        cand_d = jnp.concatenate([d1[None], d_ring, p1[None]], axis=0)
+        embd, validd = poold(cand_d, jnp.broadcast_to(wh, cand_d.shape))
+        cos_d = _cos_to_template(embd, tmpl)  # [n_dring + 2]
+        i_true = n_dring + 1
+        dc_peak = jnp.max(jnp.where(validd[:i_true], cos_d[:i_true], -1.0))
         viol_c = jnp.maximum(
-            0.0, cos_d[0] - distractor_margin * jax.lax.stop_gradient(cos[0])
+            0.0, dc_peak - distractor_margin * jax.lax.stop_gradient(cos[0])
         )
+        viol_c = jnp.where(jnp.any(validd[:i_true]), viol_c, 0.0)
         logits_d = jnp.where(
-            validd | (jnp.arange(2) == 1), cos_d / tau, -1e9
+            validd | (jnp.arange(n_dring + 2) == i_true), cos_d / tau, -1e9
         )
-        rank_c = -jax.nn.log_softmax(logits_d)[1]
+        rank_c = -jax.nn.log_softmax(logits_d)[i_true]
         loss = loss + distractor_centered_weight * (
-            viol_c + jnp.where(validd[1], rank_c, 0.0)
+            viol_c + jnp.where(validd[i_true], rank_c, 0.0)
         )
         metrics["cos_dc_clone"] = cos_d[0]
         # Lookalike-subset telemetry: batch-mean of value*look_on divides
@@ -185,8 +200,8 @@ def pair_loss(
         # posterior expected squared error E_w[||x - p1||^2] — gradient
         # pushes cosine DOWN on far candidates proportional to distance,
         # i.e. directly shapes the estimator the eval measures.
-        c_cos = cos[n_rank:]
-        c_valid = valid[n_rank:]
+        c_cos = cos[i_cloud:]
+        c_valid = valid[i_cloud:]
         nv = jnp.maximum(jnp.sum(c_valid), 1)
         mu = jnp.sum(jnp.where(c_valid, c_cos, 0.0)) / nv
         var = jnp.sum(jnp.where(c_valid, (c_cos - mu) ** 2, 0.0)) / nv

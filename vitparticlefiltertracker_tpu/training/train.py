@@ -128,16 +128,68 @@ def build_train_step(cfg, mesh=None):
         keys = jax.random.split(jax.random.fold_in(k, 1), tr.batch_size)
         return batch_loss(params, es, batch, keys, **kw)
 
+    freeze = _freeze_mask_fn(cfg)
+
     def step_fn(params, opt_state, step):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, step
         )
+        if freeze is not None:
+            # Before the chain: frozen grads must not inflate the global-
+            # norm clip and bleed into the trainable layers' step size.
+            grads = freeze(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
+        if freeze is not None:
+            # After the chain: AdamW's DECOUPLED weight decay writes
+            # nonzero updates even for zero grads — frozen slices must not
+            # shrink toward 0 (they ARE the random-basis matched filter
+            # being preserved).
+            updates = freeze(updates)
         params = optax.apply_updates(params, updates)
         metrics = dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
         return params, opt_state, metrics
 
     return init_fn, step_fn
+
+
+def _freeze_mask_fn(cfg):
+    """train.freeze_prefix > 0: zero the update for patch_embed, pos_embed
+    and the first N scan-stacked transformer blocks, training only the top
+    depth-N blocks (+ final LN).
+
+    Round-3 diagnosis (docs/QUALITY.md): full-backbone fine-tuning on this
+    domain consistently LOSES to seeded random init — the z-normed
+    likelihood consumes the cosine landscape, which random projections
+    already preserve near-optimally, and gradient pressure on the early
+    layers erodes that landscape faster than the margin losses add
+    discrimination. Freezing the early layers keeps the matched-filter
+    front end and lets the trained top layers add ONLY the pattern-level
+    discrimination the lookalike gates need. Blocks are scan-stacked
+    ([L, ...] leaves), so the block mask is a per-layer 0/1 vector
+    broadcast over the leading depth axis, not an optax leaf mask."""
+    n = cfg.train.freeze_prefix
+    if n <= 0:
+        return None
+    import numpy as onp
+
+    depth = _train_embed_spec(cfg).vit.depth
+    if n >= depth:
+        raise ValueError(
+            f"train.freeze_prefix {n} must be < model depth {depth}"
+        )
+    mvec = jnp.asarray(onp.r_[onp.zeros(n), onp.ones(depth - n)])
+
+    def freeze(tree):
+        blocks = jax.tree.map(
+            lambda g: g * mvec.astype(g.dtype).reshape((depth,) + (1,) * (g.ndim - 1)),
+            tree["blocks"],
+        )
+        zeros = jax.tree.map(jnp.zeros_like, (tree["patch_embed"], tree["pos_embed"]))
+        return dict(
+            tree, blocks=blocks, patch_embed=zeros[0], pos_embed=zeros[1]
+        )
+
+    return freeze
 
 
 def make_data_mesh(n_devices: int):

@@ -386,6 +386,12 @@ class TrainConfig:
     # on the lookalikes clip) — the shared-window terms above never train
     # it. ~+33% step cost (one more ViT forward per pair). 0 disables.
     distractor_centered_weight: float = 1.0
+    # Target-absent clone hinge: one extra window embed on the same scene
+    # with the target ERASED (training/data.py frame2) — the occlusion
+    # context where the lost/re-lock/re-detect gates actually consume the
+    # score; window-mean centering makes clone cosines context-dependent,
+    # so the visible-target hinges alone do not cover it. 0 disables.
+    distractor_absent_weight: float = 1.0
     # Freeze the patch/pos embed and the first N transformer blocks; train
     # only the top depth-N blocks (+ final LN). Preserves the seeded
     # random-basis matched filter (the measured quality frontier on

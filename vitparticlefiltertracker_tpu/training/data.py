@@ -37,6 +37,12 @@ class SceneBatch(NamedTuple):
     # inside the search window with the target's colors/size
     look_on: jax.Array  # [B] 1.0 where the distractor is a lookalike clone
     # (so the objective can weight/report the hard subset separately)
+    frame2: jax.Array  # [B, S, S, 3] frame1 WITHOUT the target (same
+    # background/camera/distractor/photometric params): the target-absent
+    # context of an occlusion. Window-mean centering makes every cosine
+    # context-dependent, so a clone hinged low in windows that also
+    # contain the true target can still peak high once the target is
+    # occluded — the exact moment the lost/re-lock/re-detect gates fire.
 
 
 def _octave(key: jax.Array, size: int, cells: int, lo: float, hi: float) -> jax.Array:
@@ -180,6 +186,12 @@ def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
     bg1 = extract_window_mxu(bg, ctr, jnp.float32(s), size)
     tgain1 = jnp.exp(0.12 * jax.random.normal(ks[13], ()))
     frame1 = compose(bg1, p1, d_pos + d_drift, tgain1, ang0 + d_ang)
+    # frame2: the same scene with the target fully occluded (absent) —
+    # only the distractor is painted. See SceneBatch.frame2.
+    frame2 = _paint_blob(
+        bg1, d_pos + d_drift, d_wh, colors_d, 1.0, d_on,
+        spokes=jnp.where(look_on > 0, 0.6, 0.0), spoke_k=d_spoke_k,
+    )
 
     occ_on = (jax.random.uniform(ks[14], ()) < 0.25).astype(jnp.float32)
     occ_x = p1[0] + jax.random.uniform(ks[15], (), minval=-0.8, maxval=0.8) * tw
@@ -204,6 +216,12 @@ def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
     frame1 = (
         frame1 * (gain * ch_gain) + bias + 5.0 * jax.random.normal(k_noise1, frame1.shape)
     )
+    # Same photometric params as frame1 (it IS frame1's scene, target
+    # removed); independent sensor noise.
+    k_noise2 = jax.random.fold_in(key, 111)
+    frame2 = (
+        frame2 * (gain * ch_gain) + bias + 5.0 * jax.random.normal(k_noise2, frame2.shape)
+    )
 
     return SceneBatch(
         frame0=jnp.clip(frame0, 0.0, 255.0),
@@ -213,6 +231,7 @@ def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
         wh=wh,
         d1=d_pos + d_drift,
         look_on=look_on,
+        frame2=jnp.clip(frame2, 0.0, 255.0),
     )
 
 

@@ -50,6 +50,7 @@ def pair_loss(
     wh: jax.Array,  # [2] box size
     d1: jax.Array,  # [2] distractor center in frame1 (hard negative)
     look_on: jax.Array,  # [] 1.0 when the distractor is a lookalike clone
+    frame2: jax.Array,  # [S, S, 3] frame1 WITHOUT the target (occluded ctx)
     key: jax.Array,
     *,
     tau: float,
@@ -63,6 +64,7 @@ def pair_loss(
     distractor_margin: float = 0.0,
     distractor_weight: float = 0.0,
     distractor_centered_weight: float = 0.0,
+    distractor_absent_weight: float = 0.0,
 ) -> tuple[jax.Array, dict]:
     """One sample's InfoNCE loss + metrics; vmapped over the batch."""
     k_jit, k_rand, k_cloud = jax.random.split(key, 3)
@@ -186,8 +188,34 @@ def pair_loss(
         # Lookalike-subset telemetry: batch-mean of value*look_on divides
         # by batch-mean of look_on to give the hard-subset average.
         metrics["cos_dc_clone_look"] = cos_d[0] * look_on
-        metrics["cos_dc_true_look"] = cos_d[1] * look_on
+        metrics["cos_dc_true_look"] = cos_d[i_true] * look_on
         metrics["look_frac"] = look_on
+
+    if distractor_absent_weight > 0.0:
+        # TARGET-ABSENT clone hinge (the occlusion context): window-mean
+        # centering makes every cosine context-dependent, so a clone
+        # suppressed in windows that also contain the true target can
+        # still peak high once the target is occluded — and that is the
+        # exact context in which the lost / re-lock / re-detect gates
+        # consume the score. frame2 is frame1's scene with the target
+        # erased; hinge the clone's local cosine PEAK there below
+        # margin x the (visible-target) reference. No rank term: there is
+        # nothing to rank above. For d_on=0 samples the window is pure
+        # background — hinging that low suppresses re-detect false
+        # positives on empty scenes, also wanted.
+        poola = make_dense_embedder(prm, frame2, d1, side, es, remat=True)
+        cand_a = jnp.concatenate([d1[None], d_ring], axis=0)
+        emba, valida = poola(cand_a, jnp.broadcast_to(wh, cand_a.shape))
+        cos_a = _cos_to_template(emba, tmpl)  # [n_dring + 1]
+        da_peak = jnp.max(jnp.where(valida, cos_a, -1.0))
+        viol_a = jnp.maximum(
+            0.0, da_peak - distractor_margin * jax.lax.stop_gradient(cos[0])
+        )
+        loss = loss + distractor_absent_weight * jnp.where(
+            jnp.any(valida), viol_a, 0.0
+        )
+        metrics["cos_da_peak"] = da_peak
+        metrics["cos_da_peak_look"] = da_peak * look_on
 
     if n_cloud:
         # Closed-loop posterior-mean loss (round-3 diagnosis): the round-2
@@ -219,11 +247,11 @@ def pair_loss(
 def batch_loss(prm: dict, es: DenseEmbedSpec, batch, keys, **kw):
     """Mean loss over a SceneBatch; returns (loss, metrics means)."""
     losses, metrics = jax.vmap(
-        lambda f0, f1, p0, p1, wh, d1, lk, k: pair_loss(
-            prm, es, f0, f1, p0, p1, wh, d1, lk, k, **kw
+        lambda f0, f1, p0, p1, wh, d1, lk, f2, k: pair_loss(
+            prm, es, f0, f1, p0, p1, wh, d1, lk, f2, k, **kw
         )
     )(
         batch.frame0, batch.frame1, batch.p0, batch.p1, batch.wh,
-        batch.d1, batch.look_on, keys,
+        batch.d1, batch.look_on, batch.frame2, keys,
     )
     return jnp.mean(losses), {k: jnp.mean(v) for k, v in metrics.items()}

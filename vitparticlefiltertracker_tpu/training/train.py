@@ -97,6 +97,7 @@ def build_train_step(cfg, mesh=None):
         distractor_margin=tr.distractor_margin,
         distractor_weight=tr.distractor_weight,
         distractor_centered_weight=tr.distractor_centered_weight,
+        distractor_absent_weight=tr.distractor_absent_weight,
     )
     if mesh is not None and tr.batch_size % mesh.shape["data"] != 0:
         raise ValueError(

@@ -1,0 +1,172 @@
+"""Residual discriminative head (models/vit.py:VitSpec.head_depth).
+
+The design guarantee under test: the trunk half of a head model is
+bit-identical to the headless model, so at `model.head_blend: 0` the whole
+tracker reproduces the random-init trajectory EXACTLY — a trained head can
+only add discrimination, never erode the trunk's matched-filter landscape
+(docs/QUALITY.md; reference README.md:7 "object recognition").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitparticlefiltertracker_tpu.config import Config
+from vitparticlefiltertracker_tpu.io.video import open_source
+from vitparticlefiltertracker_tpu.models.vit import (
+    VitSpec,
+    init_vit_params,
+    vit_forward_tokens,
+)
+from vitparticlefiltertracker_tpu.runtime.tracker import Tracker
+
+
+def _cfg(head_depth: int, blend: float) -> Config:
+    return Config.from_dict({
+        "model": {
+            "variant": "vit-t16",
+            "image_size": 64,
+            "dtype": "float32",
+            "use_flash_attention": False,
+            "head_depth": head_depth,
+            "head_blend": blend,
+        },
+        "filter": {"num_particles": 128},
+    })
+
+
+def _run(cfg: Config):
+    src = open_source("synthetic:moving-square", 12, (192, 192))
+    frames = list(src)
+    tr = Tracker(cfg)
+    tr.init(frames[0], src.init_bbox)
+    pos = np.array([tr.step(f)["position"] for f in frames[1:]])
+    return pos, src.truth[1 : len(frames)]
+
+
+def test_trunk_half_bit_exact():
+    """concat features' first half == the headless forward, bit for bit."""
+    spec0 = VitSpec(
+        depth=2, dim=64, heads=2, mlp_dim=128, patch_size=16, image_size=64,
+        dtype=jnp.float32, use_flash_attention=False, use_pos_embed=False,
+    )
+    spec1 = spec0._replace(head_depth=1)
+    k = jax.random.key(0)
+    p0, p1 = init_vit_params(k, spec0), init_vit_params(k, spec1)
+    img = jax.random.normal(jax.random.key(1), (2, 64, 64, 3))
+    t0 = np.asarray(vit_forward_tokens(p0, img, spec0))
+    t1 = np.asarray(vit_forward_tokens(p1, img, spec1))
+    assert t1.shape[-1] == 2 * t0.shape[-1]
+    assert np.array_equal(t0, t1[..., : t0.shape[-1]])
+
+
+def test_blend_zero_trajectory_identical():
+    """head_blend=0 disables the head STRUCTURALLY (config.resolve zeroes
+    head_depth, params.py drops the head subtree): the tracker compiles the
+    exact headless program, so the trajectory matches random init bit-for-
+    bit by construction. (Keeping the head in the graph and multiplying by
+    zero is NOT enough: XLA reduction reordering across two different
+    programs produces ~1e-7 score differences and resampling chaos
+    amplifies them within a few frames — measured.)"""
+    cfg_b0 = _cfg(1, 0.0)
+    assert cfg_b0.model.head_depth == 0  # structural disable
+    pos_plain, _ = _run(_cfg(0, 0.5))
+    pos_b0, _ = _run(cfg_b0)
+    assert np.array_equal(pos_plain, pos_b0)
+
+
+def test_split_cosine_blend_zero_matches_trunk():
+    """The split cosine at b=0 equals the trunk-only cosine (the numeric
+    half of the blend-0 guarantee, program-independent)."""
+    from vitparticlefiltertracker_tpu.ops.likelihood import (
+        _cos_to_template,
+        l2_normalize_split,
+    )
+
+    k1, k2 = jax.random.split(jax.random.key(3))
+    emb = jax.random.normal(k1, (5, 9, 32))  # [N, C, 2D], D=16
+    tmpl = l2_normalize_split(jax.random.normal(k2, (9, 32)), (16, 0.0))
+    cos_split = _cos_to_template(emb, tmpl, (16, 0.0))
+    cos_trunk = _cos_to_template(emb[..., :16], tmpl[..., :16])
+    np.testing.assert_allclose(np.asarray(cos_split), np.asarray(cos_trunk), atol=1e-6)
+
+
+def test_blend_quarter_random_head_still_tracks():
+    """An UNTRAINED head blended at 0.25 is just a second random matched
+    filter — tracking must stay in family with the headless baseline
+    (enabling the head before training costs little)."""
+    pos_plain, truth = _run(_cfg(0, 0.5))
+    pos_b, _ = _run(_cfg(1, 0.25))
+    e_plain = np.linalg.norm(pos_plain - truth, axis=1)
+    e_b = np.linalg.norm(pos_b - truth, axis=1)
+    assert np.sqrt((e_b**2).mean()) < 3.0 * max(np.sqrt((e_plain**2).mean()), 4.0)
+
+
+def test_head_training_freezes_trunk():
+    """With head_depth > 0 the trainer updates ONLY params['head']."""
+    from vitparticlefiltertracker_tpu.training.train import build_train_step
+
+    cfg = Config.from_dict({
+        "model": {"variant": "vit-t16", "image_size": 64, "dtype": "float32",
+                  "use_flash_attention": False, "head_depth": 1},
+        "train": {"steps": 2, "batch_size": 2, "canvas": 96, "lr": 1e-3,
+                  "cloud_particles": 8, "num_random_negatives": 2},
+    })
+    init_fn, step_fn = build_train_step(cfg)
+    params, opt = jax.jit(init_fn)()
+    p0 = jax.device_get(params)
+    for i in range(2):
+        params, opt, m = jax.jit(step_fn)(params, opt, jnp.int32(i))
+    p1 = jax.device_get(params)
+    assert np.isfinite(float(np.asarray(m["loss"])))
+    trunk0 = {k: v for k, v in p0.items() if k != "head"}
+    trunk1 = {k: v for k, v in p1.items() if k != "head"}
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(trunk0), jax.tree.leaves(trunk1))
+    ), "trunk must stay byte-frozen"
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(p0["head"]), jax.tree.leaves(p1["head"]))
+    ), "head must train"
+
+
+def test_head_checkpoint_roundtrip(tmp_path):
+    """Save/load a head checkpoint; headless configs drop the head,
+    mismatched head_depth errors."""
+    from vitparticlefiltertracker_tpu.models.params import (
+        load_params,
+        resolve_vit_params,
+        save_params,
+    )
+
+    cfg = _cfg(1, 0.5)
+    spec = VitSpec.from_config(cfg.model)
+    prm = init_vit_params(jax.random.key(0), spec)
+    path = str(tmp_path / "head.npz")
+    save_params(path, prm)
+    loaded = load_params(path)
+    assert "head" in loaded
+
+    cfg.model.checkpoint = path
+    resolved = resolve_vit_params(cfg)
+    assert "head" in resolved
+
+    cfg_headless = _cfg(0, 0.5)
+    cfg_headless.model.checkpoint = path
+    resolved0 = resolve_vit_params(cfg_headless)
+    assert "head" not in resolved0  # dropped, trunk-only serving
+
+    cfg_bad = _cfg(2, 0.5)
+    cfg_bad.model.checkpoint = path
+    with pytest.raises(ValueError, match="head has 1 blocks"):
+        resolve_vit_params(cfg_bad)
+
+
+def test_head_requires_dense_mode():
+    with pytest.raises(ValueError, match="dense"):
+        Config.from_dict({
+            "model": {"variant": "vit-t16", "head_depth": 1},
+            "tracker": {"mode": "crop"},
+        })

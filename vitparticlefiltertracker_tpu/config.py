@@ -52,6 +52,18 @@ class ModelConfig:
     # window encode; compile traces every layer), 1 = lax.scan (cheapest
     # compile), k>1 = scan with unroll=k (measured slower than both).
     scan_unroll: int = 0
+    # RESIDUAL DISCRIMINATIVE HEAD (models/vit.py:VitSpec.head_depth): k
+    # extra transformer blocks on top of the FROZEN trunk emit a second
+    # feature half; every appearance cosine becomes
+    # (1-head_blend)*cos_trunk + head_blend*cos_head. head_blend=0
+    # reproduces the headless (random-init-trunk) tracker BIT-EXACTLY, so a
+    # trained head can only add discrimination (lookalike rejection,
+    # reference README.md:7 "object recognition") — never erode the trunk's
+    # matched-filter localization. Train with configs/train-head.yaml
+    # (training/ freezes the trunk automatically when head_depth > 0).
+    # Dense mode only.
+    head_depth: int = 0
+    head_blend: float = 0.5
 
     def resolve(self) -> "ModelConfig":
         if self.variant != "custom":
@@ -72,6 +84,20 @@ class ModelConfig:
             raise ValueError("model.dim must be divisible by model.heads")
         if self.pooling not in ("mean", "cls"):
             raise ValueError("model.pooling must be 'mean' or 'cls'")
+        if self.head_depth < 0:
+            raise ValueError("model.head_depth must be >= 0")
+        if not 0.0 <= self.head_blend <= 1.0:
+            raise ValueError("model.head_blend must be in [0, 1]")
+        if self.head_blend == 0.0:
+            # blend 0 disables the head STRUCTURALLY: the tracker compiles
+            # the exact headless program (params' head subtree is dropped at
+            # load — models/params.py), so "trained at blend 0 == random
+            # init" holds bit-for-bit by construction — not merely
+            # numerically, where XLA's reduction reordering across two
+            # different programs breaks bit-equality and resampling chaos
+            # amplifies it (measured: trajectories diverge within ~4 frames
+            # from a 1e-7 conf difference).
+            self.head_depth = 0
         return self
 
 
@@ -441,6 +467,12 @@ class Config:
         self.filter.resolve()
         self.tracker.resolve()
         self.train.resolve()
+        if self.model.head_depth > 0 and self.tracker.mode != "dense":
+            raise ValueError(
+                "model.head_depth > 0 (residual discriminative head) "
+                "requires tracker.mode == 'dense' — the blended split-"
+                "cosine is plumbed through the dense embedder only"
+            )
         return self
 
     # -- serialization ------------------------------------------------------

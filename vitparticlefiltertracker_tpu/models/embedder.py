@@ -50,6 +50,18 @@ class DenseEmbedSpec(NamedTuple):
     appearance: str  # "pooled" | "cells" (config.TrackerConfig.appearance)
     roi_grid: int  # KxK ROI-align samples per box
     center_features: bool  # subtract window-mean embedding
+    head_blend: float = 0.5  # b in (1-b)*cos_trunk + b*cos_head (head only)
+
+    @property
+    def split(self) -> tuple[int, float] | None:
+        """(d_trunk, blend) when the residual head is on, else None.
+
+        Passed to ops/likelihood.py's split-aware cosines: token features
+        are concat(trunk, head) [.., 2*dim] and the appearance score blends
+        the two halves' cosines (VitSpec.head_depth)."""
+        if self.vit.head_depth > 0:
+            return (self.vit.dim, self.head_blend)
+        return None
 
     @classmethod
     def from_config(cls, cfg) -> "DenseEmbedSpec":
@@ -67,6 +79,7 @@ class DenseEmbedSpec(NamedTuple):
             appearance=t.appearance,
             roi_grid=t.roi_grid,
             center_features=t.center_features,
+            head_blend=cfg.model.head_blend,
         )
 
 
@@ -114,11 +127,11 @@ def make_dense_embedder(
         # saved per-block activations OOM ViT-B training on a 16G chip.
         fwd = jax.checkpoint(fwd)
     feat = fwd(prm, window)
-    feat = feat.reshape(grid, grid, spec.dim)
+    feat = feat.reshape(grid, grid, spec.out_dim)
     # Window's shared-context component (see ops/likelihood.py:
     # center_embeddings) — template and particles are centered by the same
     # window mean, so cosines compare appearance, not global image stats.
-    mean_emb = jnp.mean(feat.reshape(-1, spec.dim), axis=0)
+    mean_emb = jnp.mean(feat.reshape(-1, spec.out_dim), axis=0)
 
     def pool(boxes_xy: jax.Array, boxes_wh: jax.Array):
         return pool_from_feat(feat, mean_emb, center, side, es, boxes_xy, boxes_wh)
@@ -181,14 +194,32 @@ def score_from_feat(
     win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
     gxy = (win_px - (patch - 1) / 2.0) / patch
     gwh = boxes_wh / side * s_img / patch
-    cos = roi_cells_cos_mxu(
-        feat,
-        mean_emb if es.center_features else None,
-        tmpl,
-        gxy,
-        gwh,
-        es.roi_grid,
-    )
+    if es.split is not None:
+        # Residual-head features: blend the two halves' fused cosine maps
+        # (each half centered/normalized independently — the same semantics
+        # as ops/likelihood.py's split _cos_to_template). Two fused calls:
+        # the per-particle [N, C, P] weight tensors are rebuilt, but the
+        # D-dependent Gram/projection maps halve, so the extra cost is the
+        # second [N,C,P]x[P,P] contraction — paid only in head configs.
+        d, b = es.split
+        mean_f = mean_emb[:d] if es.center_features else None
+        mean_h = mean_emb[d:] if es.center_features else None
+        cos_f = roi_cells_cos_mxu(
+            feat[..., :d], mean_f, tmpl[..., :d], gxy, gwh, es.roi_grid
+        )
+        cos_h = roi_cells_cos_mxu(
+            feat[..., d:], mean_h, tmpl[..., d:], gxy, gwh, es.roi_grid
+        )
+        cos = (1.0 - b) * cos_f + b * cos_h
+    else:
+        cos = roi_cells_cos_mxu(
+            feat,
+            mean_emb if es.center_features else None,
+            tmpl,
+            gxy,
+            gwh,
+            es.roi_grid,
+        )
     in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
     return cos, in_win
 
@@ -219,8 +250,8 @@ def tiled_window_embed(
             view_extract_window_mxu(view, c, tile_side, es.s_img)
         )
     )(tile_ctrs)
-    feats = vit_forward_tokens(prm, windows, spec)  # [G, T, D]
-    feats = feats.reshape(feats.shape[0], grid, grid, spec.dim)
+    feats = vit_forward_tokens(prm, windows, spec)  # [G, T, D or 2D]
+    feats = feats.reshape(feats.shape[0], grid, grid, spec.out_dim)
     mean_embs = jnp.mean(feats, axis=(1, 2))  # [G, D]
     wh = jnp.broadcast_to(cand_wh, cand_xy.shape[1:])
     return jax.vmap(

@@ -188,6 +188,16 @@ def cast_for_inference(params, spec: VitSpec):
     }
     out["blocks"]["attn"] = cast(params["blocks"]["attn"])
     out["blocks"]["mlp"] = cast(params["blocks"]["mlp"])
+    if "head" in params:
+        # Residual-head blocks (models/vit.py:VitSpec.head_depth): same
+        # treatment as the trunk — matmul weights to compute dtype, LN f32.
+        hb = {
+            k: (dict(v) if isinstance(v, dict) else v)
+            for k, v in params["head"]["blocks"].items()
+        }
+        hb["attn"] = cast(params["head"]["blocks"]["attn"])
+        hb["mlp"] = cast(params["head"]["blocks"]["mlp"])
+        out["head"] = dict(params["head"], blocks=hb)
     for k in ("cls_token", "pos_embed"):
         if k in out and out[k] is not None:
             out[k] = out[k].astype(dt)
@@ -204,4 +214,22 @@ def resolve_vit_params(cfg, vit_params=None):
         spec = spec._replace(image_size=cfg.tracker.crop_size)
     if vit_params is None:
         vit_params = load_or_init(cfg.model.checkpoint, spec, cfg.filter.seed)
+    if spec.head_depth > 0 and "head" not in vit_params:
+        raise ValueError(
+            f"model.head_depth={spec.head_depth} but the weights have no "
+            "'head' subtree — train one with configs/train-head.yaml or set "
+            "model.head_depth: 0"
+        )
+    if spec.head_depth > 0 and "head" in vit_params:
+        have = int(jax.tree.leaves(vit_params["head"]["blocks"])[0].shape[0])
+        if have != spec.head_depth:
+            raise ValueError(
+                f"model.head_depth={spec.head_depth} but the checkpoint's "
+                f"head has {have} blocks"
+            )
+    if spec.head_depth == 0 and isinstance(vit_params, dict) and "head" in vit_params:
+        # A head checkpoint can serve a headless config (e.g. quick A/B of
+        # trunk-only tracking): drop the head instead of wasting compute on
+        # features the blend would ignore.
+        vit_params = {k: v for k, v in vit_params.items() if k != "head"}
     return cast_for_inference(vit_params, spec)

@@ -58,6 +58,18 @@ class VitSpec(NamedTuple):
     # per-layer weight-DMA pipeline beats half-measures), 1 = lax.scan
     # (cheapest compile: traces one block), k>1 = scan with unroll=k.
     scan_unroll: int = 0
+    # RESIDUAL DISCRIMINATIVE HEAD (round 3, docs/QUALITY.md): k extra
+    # transformer blocks appended AFTER the frozen trunk, producing a second
+    # feature half — encode_tokens returns [B, T, 2*dim] =
+    # concat(LN_final(trunk), LN_head(head(trunk_stream))). The appearance
+    # score becomes a blend (1-b)*cos_trunk + b*cos_head (ops/likelihood.py
+    # split plumbing), so the trunk's matched-filter landscape — which the
+    # z-normed likelihood provably needs and which seeded RANDOM init
+    # already provides near-optimally on rigid targets — is preserved
+    # bit-exactly while training adds ONLY pattern-level discrimination
+    # (the lookalike / object-recognition capability, reference
+    # README.md:7). 0 = no head (plain [B, T, dim] output).
+    head_depth: int = 0
 
     @property
     def grid(self) -> int:
@@ -87,7 +99,13 @@ class VitSpec(NamedTuple):
             use_cls_token=(m.pooling == "cls") or not m.drop_cls_token,
             ln_eps=m.ln_eps,
             scan_unroll=m.scan_unroll,
+            head_depth=m.head_depth,
         )
+
+    @property
+    def out_dim(self) -> int:
+        """Token feature width encode_tokens emits (2*dim with a head)."""
+        return self.dim * (2 if self.head_depth > 0 else 1)
 
 
 # ---------------------------------------------------------------------------
@@ -140,6 +158,22 @@ def init_vit_params(key: jax.Array, spec: VitSpec) -> dict:
 
     blocks = [make_block(keys[4 + i]) for i in range(spec.depth)]
     params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    if spec.head_depth > 0:
+        # Residual head blocks (see VitSpec.head_depth). Keyed independently
+        # of the trunk so adding a head never perturbs the trunk's seeded
+        # random weights — the b=0 trunk-only score must stay bit-identical
+        # to the headless model.
+        hkeys = jax.random.split(
+            jax.random.fold_in(key, 0x4EAD), spec.head_depth
+        )
+        hblocks = [make_block(hk) for hk in hkeys]
+        params["head"] = {
+            "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *hblocks),
+            "ln": {
+                "scale": jnp.ones((d,), jnp.float32),
+                "bias": jnp.zeros((d,), jnp.float32),
+            },
+        }
     return params
 
 
@@ -240,7 +274,17 @@ def encode_tokens(params: dict, x: jax.Array, spec: VitSpec) -> jax.Array:
 
     unroll = spec.depth if spec.scan_unroll == 0 else spec.scan_unroll
     x, _ = jax.lax.scan(body, x, params["blocks"], unroll=unroll)
-    return _layer_norm(x, params["ln_final"], dtype, spec.ln_eps)
+    trunk = _layer_norm(x, params["ln_final"], dtype, spec.ln_eps)
+    if spec.head_depth <= 0:
+        return trunk
+    # Residual head (VitSpec.head_depth): continue the PRE-final-LN stream
+    # through the head blocks (pre-LN architecture — ln_final is a readout,
+    # not part of the stream), own readout LN, concat as a second feature
+    # half. The trunk half is byte-identical to the headless forward.
+    h_unroll = spec.head_depth if spec.scan_unroll == 0 else spec.scan_unroll
+    h, _ = jax.lax.scan(body, x, params["head"]["blocks"], unroll=h_unroll)
+    head = _layer_norm(h, params["head"]["ln"], dtype, spec.ln_eps)
+    return jnp.concatenate([trunk, head], axis=-1)
 
 
 def pool_tokens(tokens: jax.Array, spec: VitSpec) -> jax.Array:

@@ -16,7 +16,36 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
     return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
 
 
-def _cos_to_template(embeddings: jax.Array, template: jax.Array) -> jax.Array:
+# `split`: optional (d_trunk, blend) for residual-head features
+# (models/vit.py:VitSpec.head_depth). Features are concat(trunk, head) along
+# the last axis; each half is normalized INDEPENDENTLY and the score is the
+# blend (1-b)*cos_trunk + b*cos_head. At b=0 this is bit-exactly the
+# trunk-only (headless) cosine, which is what makes a trained head unable to
+# erode the random-init trunk's matched-filter landscape.
+
+
+def l2_normalize_split(
+    x: jax.Array, split: tuple[int, float] | None = None, eps: float = 1e-8
+) -> jax.Array:
+    """L2-normalize the last axis; with `split`, each half independently.
+
+    The split form keeps both halves UNIT norm (no blend scaling baked in —
+    the blend lives in the cosine, so one stored template serves any
+    head_blend)."""
+    if split is None:
+        return l2_normalize(x, eps=eps)
+    d, _ = split
+    return jnp.concatenate(
+        [l2_normalize(x[..., :d], eps=eps), l2_normalize(x[..., d:], eps=eps)],
+        axis=-1,
+    )
+
+
+def _cos_to_template(
+    embeddings: jax.Array,
+    template: jax.Array,
+    split: tuple[int, float] | None = None,
+) -> jax.Array:
     """Cosine similarity of N embeddings to the template -> [N].
 
     Two template shapes:
@@ -25,7 +54,16 @@ def _cos_to_template(embeddings: jax.Array, template: jax.Array) -> jax.Array:
         from ops/image.py:roi_cells_mxu): embeddings are [N, C, D] and the
         score is the mean of per-cell cosines — preserving layout inside the
         box, which a single pooled vector cannot (aperture-prone targets).
+
+    With `split` = (d, b), embeddings/template are concat(trunk, head)
+    features (each template half unit-normalized per cell) and the score is
+    (1-b)*cos_trunk + b*cos_head.
     """
+    if split is not None:
+        d, b = split
+        cos_f = _cos_to_template(embeddings[..., :d], template[..., :d])
+        cos_h = _cos_to_template(embeddings[..., d:], template[..., d:])
+        return (1.0 - b) * cos_f + b * cos_h
     emb = l2_normalize(embeddings.astype(jnp.float32), axis=-1)
     tmpl = template.astype(jnp.float32)
     if template.ndim == 1:
@@ -37,13 +75,14 @@ def cosine_log_likelihood(
     embeddings: jax.Array,  # [N, D] or [N, C, D]
     template: jax.Array,  # [D] or [C, D] (L2-normalized per cell)
     temperature: float,
+    split: tuple[int, float] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (log_likelihood [N], cosine similarities [N]).
 
     loglik_n = temperature * cos(emb_n, template). Additive constants are
     irrelevant (weights get normalized), so no partition term is needed.
     """
-    cos = _cos_to_template(embeddings, template)
+    cos = _cos_to_template(embeddings, template, split)
     return temperature * cos, cos
 
 
@@ -53,6 +92,7 @@ def znormed_log_likelihood(
     temperature: float,
     eps: float = 1e-6,
     mask: jax.Array | None = None,  # [N] bool: True = valid particle
+    split: tuple[int, float] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Self-normalizing likelihood: temperature * zscore_over_particles(cos).
 
@@ -72,7 +112,7 @@ def znormed_log_likelihood(
     (round-1 ADVICE finding). Masked entries still receive a z-score (from
     the valid-set statistics); the caller down-weights them separately.
     """
-    cos = _cos_to_template(embeddings, template)
+    cos = _cos_to_template(embeddings, template, split)
     return znormed_logits_from_cos(cos, temperature, eps, mask), cos
 
 

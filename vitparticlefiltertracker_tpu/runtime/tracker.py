@@ -55,6 +55,7 @@ from vitparticlefiltertracker_tpu.ops.image import (
 from vitparticlefiltertracker_tpu.ops.likelihood import (
     cosine_log_likelihood,
     l2_normalize,
+    l2_normalize_split,
     znormed_log_likelihood,
     znormed_logits_from_cos,
 )
@@ -217,7 +218,13 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         appearance=t.appearance,
         roi_grid=t.roi_grid,
         center_features=t.center_features,
+        head_blend=cfg.model.head_blend,
     )
+    # Residual-head feature split (models/vit.py:VitSpec.head_depth): every
+    # cosine below blends (1-b)*cos_trunk + b*cos_head, and template halves
+    # normalize independently. None in headless configs — all paths are
+    # then bit-identical to pre-head code.
+    split = dense_es.split if mode == "dense" else None
 
     def _norm_folded_embed_weights(prm):
         """Fold pixel normalization into the patch-embed affine map:
@@ -287,7 +294,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         box_wh = bbox[2:]
         side = _window_side(box_wh, jnp.float32(1.0), t.search_scale)
         emb, _ = make_embedder(prm, view, center, side)(center[None], box_wh[None])
-        template = l2_normalize(emb[0].astype(jnp.float32))
+        template = l2_normalize_split(emb[0].astype(jnp.float32), split)
         pf = init_state(jax.random.fold_in(key, 0xFFFFFFFF), center, n, pfp)
         return TrackerState(
             pf=pf,
@@ -326,8 +333,9 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         # Matching template: adaptive EMA blended with the immutable anchor
         # (bounds template drift; see config tracker.template_anchor_mix).
         if anchor_mix > 0.0 and ema > 0.0:
-            tmpl = l2_normalize(
-                anchor_mix * state.anchor + (1.0 - anchor_mix) * state.template
+            tmpl = l2_normalize_split(
+                anchor_mix * state.anchor + (1.0 - anchor_mix) * state.template,
+                split,
             )
         else:
             tmpl = state.template
@@ -347,9 +355,11 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         else:
             emb, in_win = pool(boxes_xy, boxes_wh)
             if use_znorm:
-                loglik, cos = znormed_log_likelihood(emb, tmpl, zscale, mask=in_win)
+                loglik, cos = znormed_log_likelihood(
+                    emb, tmpl, zscale, mask=in_win, split=split
+                )
             else:
-                loglik, cos = cosine_log_likelihood(emb, tmpl, temp)
+                loglik, cos = cosine_log_likelihood(emb, tmpl, temp, split=split)
         loglik = jnp.where(in_win, loglik, loglik - 1e4)
 
         out = pf_update(particles, state.pf.log_weights, loglik, noise.resample_u, pfp)
@@ -384,7 +394,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
                 emb_p, ok_p = pool_p(
                     est_xy[None], (state.box_wh * est_scale)[None]
                 )
-                _, cos_p = cosine_log_likelihood(emb_p, tmpl, 1.0)
+                _, cos_p = cosine_log_likelihood(emb_p, tmpl, 1.0, split=split)
                 return jnp.where(ok_p[0], cos_p[0], jnp.float32(-1.0))
 
             conf_gate = jax.lax.cond(
@@ -426,9 +436,10 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
         # confidence so occlusions don't poison the template.
         if ema > 0.0:
             est_emb, _ = pool(est_xy[None], (state.box_wh * est_scale)[None])
-            cand = l2_normalize(
+            cand = l2_normalize_split(
                 (1.0 - ema) * state.template
-                + ema * l2_normalize(est_emb[0].astype(jnp.float32))
+                + ema * l2_normalize_split(est_emb[0].astype(jnp.float32), split),
+                split,
             )
             # ~state.lost: on a re-lock frame est_emb came from the still-
             # boosted window (scale-mismatched features) — skip one update.
@@ -499,7 +510,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
                     emb_g, valid_g = pool_g(
                         cand_flat, jnp.broadcast_to(cand_wh, cand_flat.shape)
                     )
-                _, cos_g = cosine_log_likelihood(emb_g, tmpl, 1.0)
+                _, cos_g = cosine_log_likelihood(emb_g, tmpl, 1.0, split=split)
                 cos_g = jnp.where(valid_g, cos_g, -2.0)
                 b = jnp.argmax(cos_g)
                 # Feature-agnostic acceptance margin: how far the winner

@@ -21,7 +21,10 @@ from vitparticlefiltertracker_tpu.models.embedder import (
     DenseEmbedSpec,
     make_dense_embedder,
 )
-from vitparticlefiltertracker_tpu.ops.likelihood import _cos_to_template, l2_normalize
+from vitparticlefiltertracker_tpu.ops.likelihood import (
+    _cos_to_template,
+    l2_normalize_split,
+)
 
 
 def ring_offsets() -> jnp.ndarray:
@@ -79,7 +82,11 @@ def pair_loss(
     t_xy = p0 + template_jitter * wh * jax.random.normal(k_jit, (2,))
     pool0 = make_dense_embedder(prm, frame0, p0, side, es, remat=True)
     emb0, _ = pool0(t_xy[None], wh[None])
-    tmpl = l2_normalize(emb0[0].astype(jnp.float32))
+    # es.split: residual-head features — template halves normalize
+    # independently and every cosine below is the blended split score, so
+    # the loss shapes EXACTLY what the tracker consumes (no train/serve
+    # skew). With a frozen trunk, gradients flow only through the head term.
+    tmpl = l2_normalize_split(emb0[0].astype(jnp.float32), es.split)
 
     # Candidates in frame1. The window is centered on p0 — the "previous
     # estimate" — exactly the tracker's step geometry.
@@ -109,7 +116,7 @@ def pair_loss(
     )  # [M, 2]
     pool1 = make_dense_embedder(prm, frame1, p0, side, es, remat=True)
     emb1, valid = pool1(cand, jnp.broadcast_to(wh, cand.shape))
-    cos = _cos_to_template(emb1, tmpl)  # [M]
+    cos = _cos_to_template(emb1, tmpl, es.split)  # [M]
     n_rank = 1 + offs.shape[0] + num_random + 1
     i_cloud = n_rank + n_dring  # cloud slice starts after the clone ring
 
@@ -170,7 +177,7 @@ def pair_loss(
         # rank the true box above every clone-region box in this window.
         cand_d = jnp.concatenate([d1[None], d_ring, p1[None]], axis=0)
         embd, validd = poold(cand_d, jnp.broadcast_to(wh, cand_d.shape))
-        cos_d = _cos_to_template(embd, tmpl)  # [n_dring + 2]
+        cos_d = _cos_to_template(embd, tmpl, es.split)  # [n_dring + 2]
         i_true = n_dring + 1
         dc_peak = jnp.max(jnp.where(validd[:i_true], cos_d[:i_true], -1.0))
         viol_c = jnp.maximum(
@@ -206,7 +213,7 @@ def pair_loss(
         poola = make_dense_embedder(prm, frame2, d1, side, es, remat=True)
         cand_a = jnp.concatenate([d1[None], d_ring], axis=0)
         emba, valida = poola(cand_a, jnp.broadcast_to(wh, cand_a.shape))
-        cos_a = _cos_to_template(emba, tmpl)  # [n_dring + 1]
+        cos_a = _cos_to_template(emba, tmpl, es.split)  # [n_dring + 1]
         da_peak = jnp.max(jnp.where(valida, cos_a, -1.0))
         viol_a = jnp.maximum(
             0.0, da_peak - distractor_margin * jax.lax.stop_gradient(cos[0])

@@ -69,6 +69,10 @@ def make_probe(
             "dtype": "bfloat16" if on_tpu else "float32",
             "use_flash_attention": False,
             "scan_unroll": train_cfg.model.scan_unroll,
+            # Residual-head runs (configs/train-head.yaml): the probe must
+            # score the SAME blended split-cosine the tracker will serve.
+            "head_depth": train_cfg.model.head_depth,
+            "head_blend": train_cfg.model.head_blend,
         },
         "filter": {"num_particles": num_particles},
         "tracker": {"mode": "dense"},

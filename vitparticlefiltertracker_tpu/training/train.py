@@ -168,6 +168,19 @@ def _freeze_mask_fn(cfg):
     discrimination the lookalike gates need. Blocks are scan-stacked
     ([L, ...] leaves), so the block mask is a per-layer 0/1 vector
     broadcast over the leading depth axis, not an optax leaf mask."""
+    if cfg.model.head_depth > 0:
+        # RESIDUAL HEAD TRAINING (models/vit.py:VitSpec.head_depth): the
+        # whole trunk — patch embed, every trunk block, final LN — IS the
+        # seeded random-init matched filter the blended score's first half
+        # rides on; only params["head"] trains. This is what guarantees
+        # "trained can't lose to random": at head_blend=0 the tracker is
+        # bit-identical to random init, and every blend>0 only ever ADDS
+        # the head's discrimination on top of an untouched trunk landscape.
+        def freeze_head_only(tree):
+            out = jax.tree.map(jnp.zeros_like, tree)
+            return dict(out, head=tree["head"])
+
+        return freeze_head_only
     n = cfg.train.freeze_prefix
     if n <= 0:
         return None

@@ -418,6 +418,11 @@ class TrainConfig:
     # score; window-mean centering makes clone cosines context-dependent,
     # so the visible-target hinges alone do not cover it. 0 disables.
     distractor_absent_weight: float = 1.0
+    # Fraction of training samples whose distractor is a LOOKALIKE clone
+    # (training/data.py look_on): same colors/size as the target, different
+    # spoke harmonic. Residual-head runs raise it — pattern discrimination
+    # is the head's only job (the frozen trunk owns localization).
+    lookalike_frac: float = 0.35
     # Freeze the patch/pos embed and the first N transformer blocks; train
     # only the top depth-N blocks (+ final LN). Preserves the seeded
     # random-basis matched filter (the measured quality frontier on

@@ -94,7 +94,7 @@ def _paint_blob(
     return frame * (1.0 - alpha[..., None]) + tex * alpha[..., None]
 
 
-def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
+def _synth_pair(key: jax.Array, size: int, look_frac: float = 0.35) -> SceneBatch:
     """One scene pair; batch axes added by vmap in make_pair_batch."""
     ks = jax.random.split(key, 18)
     s = float(size)
@@ -131,7 +131,7 @@ def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
     # io/synthetic.py `lookalikes` eval clip measures exactly it. Both
     # objects carry spokes in this mode, else they'd be identical.
     k_lk, k_lr, k_la, k_lkk = jax.random.split(jax.random.fold_in(key, 55), 4)
-    look_on = (jax.random.uniform(k_lk, ()) < 0.35).astype(jnp.float32)
+    look_on = (jax.random.uniform(k_lk, ()) < look_frac).astype(jnp.float32)
     look_r = jnp.max(wh) * jax.random.uniform(k_lr, (), minval=1.3, maxval=2.3)
     look_th = jax.random.uniform(k_la, (), minval=0.0, maxval=2.0 * jnp.pi)
     look_pos = jnp.clip(
@@ -235,6 +235,15 @@ def _synth_pair(key: jax.Array, size: int) -> SceneBatch:
     )
 
 
-def make_pair_batch(key: jax.Array, batch: int, size: int) -> SceneBatch:
-    """[B]-batched scene pairs; jit/vmap-safe, counter-based (fold_in step)."""
-    return jax.vmap(lambda k: _synth_pair(k, size))(jax.random.split(key, batch))
+def make_pair_batch(
+    key: jax.Array, batch: int, size: int, look_frac: float = 0.35
+) -> SceneBatch:
+    """[B]-batched scene pairs; jit/vmap-safe, counter-based (fold_in step).
+
+    look_frac (train.lookalike_frac): fraction of samples whose distractor
+    is a lookalike clone. Residual-head training raises it — discrimination
+    is the head's ONLY job, so most of its gradient should come from the
+    hard subset."""
+    return jax.vmap(lambda k: _synth_pair(k, size, look_frac))(
+        jax.random.split(key, batch)
+    )

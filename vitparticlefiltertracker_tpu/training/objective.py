@@ -120,6 +120,32 @@ def pair_loss(
     n_rank = 1 + offs.shape[0] + num_random + 1
     i_cloud = n_rank + n_dring  # cloud slice starts after the clone ring
 
+    # Residual-head runs (es.split): also hinge the HEAD HALF's clone
+    # cosine directly. The blended hinge alone dilutes the gradient — the
+    # frozen trunk contributes (1-b) of the clone's blended score and the
+    # head must go strongly NEGATIVE on clones to pull the blend below the
+    # margin; hinging cos_head against its own positive reference puts the
+    # full pressure where the only trainable parameters are.
+    head_split = (es.split[0], 1.0) if es.split is not None else None
+    cos_head = (
+        _cos_to_template(emb1, tmpl, head_split)
+        if head_split is not None
+        else None
+    )
+
+    def ratio_hinge(c, c_h, valid, ref, ref_h):
+        """max(0, peak_over_valid - margin*ref), blended + head half."""
+        peak = jnp.max(jnp.where(valid, c, -1.0))
+        v = jnp.maximum(
+            0.0, peak - distractor_margin * jax.lax.stop_gradient(ref)
+        )
+        if c_h is not None:
+            peak_h = jnp.max(jnp.where(valid, c_h, -1.0))
+            v = v + jnp.maximum(
+                0.0, peak_h - distractor_margin * jax.lax.stop_gradient(ref_h)
+            )
+        return jnp.where(jnp.any(valid), v, 0.0)
+
     logits = cos[:n_rank] / tau
     # Invalid (out-of-window) negatives drop out of the softmax; the true
     # box is kept regardless (p1 is always inside by construction).
@@ -151,12 +177,14 @@ def pair_loss(
         # ring (see d_ring above): suppress the clone's local cosine
         # landscape, not one sample of it. See io/synthetic.py `lookalikes`.
         d_valid = valid[n_rank - 1 : i_cloud]
-        d_peak = jnp.max(jnp.where(d_valid, cos[n_rank - 1 : i_cloud], -1.0))
-        viol = jnp.maximum(
-            0.0,
-            d_peak - distractor_margin * jax.lax.stop_gradient(cos[0]),
+        viol = ratio_hinge(
+            cos[n_rank - 1 : i_cloud],
+            cos_head[n_rank - 1 : i_cloud] if cos_head is not None else None,
+            d_valid,
+            cos[0],
+            cos_head[0] if cos_head is not None else None,
         )
-        loss = loss + distractor_weight * jnp.where(jnp.any(d_valid), viol, 0.0)
+        loss = loss + distractor_weight * viol
 
     if distractor_centered_weight > 0.0:
         # SELF-CENTERED distractor geometry (the false-lock/re-detection
@@ -178,12 +206,19 @@ def pair_loss(
         cand_d = jnp.concatenate([d1[None], d_ring, p1[None]], axis=0)
         embd, validd = poold(cand_d, jnp.broadcast_to(wh, cand_d.shape))
         cos_d = _cos_to_template(embd, tmpl, es.split)  # [n_dring + 2]
-        i_true = n_dring + 1
-        dc_peak = jnp.max(jnp.where(validd[:i_true], cos_d[:i_true], -1.0))
-        viol_c = jnp.maximum(
-            0.0, dc_peak - distractor_margin * jax.lax.stop_gradient(cos[0])
+        cos_d_h = (
+            _cos_to_template(embd, tmpl, head_split)
+            if head_split is not None
+            else None
         )
-        viol_c = jnp.where(jnp.any(validd[:i_true]), viol_c, 0.0)
+        i_true = n_dring + 1
+        viol_c = ratio_hinge(
+            cos_d[:i_true],
+            cos_d_h[:i_true] if cos_d_h is not None else None,
+            validd[:i_true],
+            cos[0],
+            cos_head[0] if cos_head is not None else None,
+        )
         logits_d = jnp.where(
             validd | (jnp.arange(n_dring + 2) == i_true), cos_d / tau, -1e9
         )
@@ -214,12 +249,18 @@ def pair_loss(
         cand_a = jnp.concatenate([d1[None], d_ring], axis=0)
         emba, valida = poola(cand_a, jnp.broadcast_to(wh, cand_a.shape))
         cos_a = _cos_to_template(emba, tmpl, es.split)  # [n_dring + 1]
-        da_peak = jnp.max(jnp.where(valida, cos_a, -1.0))
-        viol_a = jnp.maximum(
-            0.0, da_peak - distractor_margin * jax.lax.stop_gradient(cos[0])
+        cos_a_h = (
+            _cos_to_template(emba, tmpl, head_split)
+            if head_split is not None
+            else None
         )
-        loss = loss + distractor_absent_weight * jnp.where(
-            jnp.any(valida), viol_a, 0.0
+        da_peak = jnp.max(jnp.where(valida, cos_a, -1.0))
+        loss = loss + distractor_absent_weight * ratio_hinge(
+            cos_a,
+            cos_a_h,
+            valida,
+            cos[0],
+            cos_head[0] if cos_head is not None else None,
         )
         metrics["cos_da_peak"] = da_peak
         metrics["cos_da_peak_look"] = da_peak * look_on

@@ -122,7 +122,12 @@ def build_train_step(cfg, mesh=None):
     def loss_fn(params, step):
         k = jax.random.fold_in(base_key, step)
         batch = _shard_batch(
-            make_pair_batch(jax.random.fold_in(k, 0), tr.batch_size, tr.canvas)
+            make_pair_batch(
+                jax.random.fold_in(k, 0),
+                tr.batch_size,
+                tr.canvas,
+                tr.lookalike_frac,
+            )
         )
         # Keys stay replicated (key arrays + sharding constraints are
         # version-sensitive); the vmapped loss follows the batch's sharding.

@@ -214,9 +214,10 @@ def render_quality_md() -> None:
             "Errors in pixels against procedural ground truth "
             "(io/synthetic.py), measured with `tools/eval_quality.py` at the "
             "REAL BASELINE eval geometries. `weights`: `random` = seeded "
-            "random init; `trained` = in-repo learned features "
-            "(`python main.py train --config configs/train-features.yaml`, "
-            "training/). `+mp4` rows run the clip through a real mp4 "
+            "random init; `trained` = the in-repo residual-head checkpoint "
+            "(`python main.py train --config configs/train-head.yaml`, "
+            "training/ — frozen random trunk + trained discriminative "
+            "head, docs/DESIGN.md §7b). `+mp4` rows run the clip through a real mp4 "
             "encode->decode (the B3 video path — natural pixel statistics, "
             "codec noise). `final5` = mean error over the last 5 frames; "
             "`lost%` = frames flagged lost. The teleport clip scores only "
@@ -257,33 +258,36 @@ def render_quality_md() -> None:
             "- eval3 = ViT-L/16, 4k particles, 1080p needle; eval4 = 8 banks "
             "× 1k particles, 720p multi-object (per-bank errors pooled) — "
             "the BASELINE.md geometries, not stand-ins.\n"
-            "- Random-init vs trained, honestly: random init WINS on these "
-            "procedural clips, and round 3 established why it must. The "
-            "z-normed likelihood consumes only the cosine LANDSCAPE over "
-            "the window — any appearance change that degrades the target "
-            "match uniformly (rotation, exposure, even deformation) lowers "
-            "absolute cosine but leaves the peak AT the target, so seeded "
-            "random projections (a matched filter in a random basis) stay "
-            "near-optimal; the template EMA absorbs the drift the landscape "
-            "can't. The training subsystem closed every diagnosable gap — "
-            "matched train/eval geometry, eval-in-the-loop checkpoint "
-            "selection against the real tracker (training/probe.py), a "
-            "closed-loop posterior-mean loss (train.cloud_weight) — and "
-            "the step-0 probe logs random init at 1.46 px under identical "
-            "settings while every trained checkpoint probes worse: on "
-            "single-target matched-filter clips there is nothing left to "
-            "learn. The `lookalikes` family is the counter-case BUILT to "
-            "need learning (reference README.md:7 'object recognition'): "
-            "distractors share the target's colors/size and differ only in "
-            "pattern detail, which raw random projections blur together "
-            "while features trained with lookalike hard negatives "
-            "(training/data.py look_on) must separate. Training also "
-            "provides the machinery for targets that are NOT procedural "
-            "rigid patches: the augmentation bands (training/data.py), "
-            "feature-agnostic gates that transfer across checkpoints, and "
-            "the torch-parity-tested importer (tools/import_vit.py) for "
-            "real pretrained backbones on natural video (this rig has no "
-            "network egress).\n"
+            "- Random-init vs trained: `trained` rows are the RESIDUAL "
+            "DISCRIMINATIVE HEAD checkpoint (configs/train-head.yaml; "
+            "docs/DESIGN.md §7b). Round 3 first established that on rigid "
+            "matched-filter clips seeded random init is the localization "
+            "frontier — the z-normed likelihood consumes only the cosine "
+            "landscape's SHAPE, which random projections preserve "
+            "near-optimally, so every full-backbone fine-tune LOST to "
+            "random (quality_runs.jsonl history). The head design composes "
+            "instead of fighting: the random trunk stays byte-frozen and "
+            "k=2 trained blocks add a second feature half, scored as "
+            "(1-b)*cos_trunk + b*cos_head — at b=0 the tracker IS random "
+            "init bit-exactly (tests/test_head.py), so training can only "
+            "add. Measured at b=0.5: trained wins 6 of 8 flagship families "
+            "outright (lookalikes 24.8->8.3 px with final-5 1.8 — the true "
+            "target is re-acquired after the occlusion on every seed; "
+            "occlusion 13.7->6.5; moving-square 2.2->1.5; surveillance "
+            "1.4->1.0; photometric 2.2->1.9; rotation 2.3->2.0) and ties "
+            "needle/teleport within noise. The `lookalikes` family is the "
+            "case BUILT to need learning (reference README.md:7 'object "
+            "recognition'): distractors share the target's colors/size and "
+            "differ only in pattern detail, which random projections blur "
+            "together — the head is trained on lookalike hard negatives "
+            "in all three gate geometries (shared-window, self-centered, "
+            "target-absent; training/objective.py). Checkpoint selection "
+            "is eval-in-the-loop against the real tracker at the eval's "
+            "48-frame difficulty (training/probe.py). For targets beyond "
+            "procedural patches: augmentation bands (training/data.py), "
+            "feature-agnostic gates, and the torch-parity-tested importer "
+            "(tools/import_vit.py) for real pretrained backbones (this "
+            "rig has no network egress).\n"
         )
     print(f"wrote {md}", file=sys.stderr)
 

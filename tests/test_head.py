@@ -164,6 +164,38 @@ def test_head_checkpoint_roundtrip(tmp_path):
         resolve_vit_params(cfg_bad)
 
 
+def test_head_only_checkpoint_roundtrip(tmp_path):
+    """save_params(trunk_seed=...) stores just the head; load_or_init
+    regenerates the byte-frozen trunk from the seed (same backend ->
+    bit-exact) and reattaches the head."""
+    from vitparticlefiltertracker_tpu.models.params import (
+        load_or_init,
+        resolve_vit_params,
+        save_params,
+    )
+
+    cfg = _cfg(1, 0.5)
+    cfg.filter.seed = 7
+    spec = VitSpec.from_config(cfg.model)._replace(use_pos_embed=False)
+    full = load_or_init("", spec, seed=7)
+    path = str(tmp_path / "head_only.npz")
+    save_params(path, full, trunk_seed=7)
+    # Head-only file is small: no trunk leaves stored.
+    import numpy as np_
+
+    with np_.load(path) as z:
+        keys = set(z.files)
+    assert all(k.startswith("head/") or k.startswith("__vpt_") for k in keys)
+
+    cfg.model.checkpoint = path
+    r = resolve_vit_params(cfg)
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(r)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="head"):
+        save_params(str(tmp_path / "x.npz"), {"blocks": {}}, trunk_seed=0)
+
+
 def test_head_requires_dense_mode():
     with pytest.raises(ValueError, match="dense"):
         Config.from_dict({

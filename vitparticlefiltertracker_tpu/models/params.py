@@ -64,15 +64,30 @@ def _unflatten(flat: dict):
     return listify(tree)
 
 
-def save_params(path: str, params) -> None:
+def save_params(path: str, params, trunk_seed: int | None = None) -> None:
     """Save a param pytree. `.npz` for portability; orbax for dirs.
 
     Both formats carry the `__vpt_format__` layout-version marker (the orbax
     tree is wrapped as {"__vpt_format__", "params"}) so a pre-layout-change
     checkpoint can't silently scramble attention on load — round-1 ADVICE.
+
+    trunk_seed: HEAD-ONLY save (residual-head training, models/vit.py:
+    VitSpec.head_depth). The trunk is byte-frozen random init reproducible
+    from `filter.seed`, so storing it wastes ~6-25x the file (ViT-L f32:
+    1.2 GB trunk vs 50 MB head). Only the `head` subtree is written plus a
+    `__vpt_trunk_seed__` marker; load_or_init regenerates the trunk with
+    init_vit_params(key(trunk_seed ^ 0x5EED)) — the exact construction the
+    trainer froze. The caller asserts the trunk really is that init (true
+    by construction under training/train.py's head freeze).
     """
+    if trunk_seed is not None:
+        if not (isinstance(params, dict) and "head" in params):
+            raise ValueError("trunk_seed save requires a 'head' subtree")
+        params = {"head": params["head"]}
     if path.endswith(".npz"):
         flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+        if trunk_seed is not None:
+            flat["__vpt_trunk_seed__"] = np.asarray(int(trunk_seed))
         # numpy's npz codec has no notion of ml_dtypes (bfloat16 round-trips
         # as raw void "|V2" and is unreadable by jnp.asarray). Store such
         # leaves as same-width uint views plus a dtype sidecar.
@@ -91,6 +106,8 @@ def save_params(path: str, params) -> None:
 
     ckptr = ocp.StandardCheckpointer()
     wrapped = {"__vpt_format__": np.asarray(FORMAT_VERSION), "params": params}
+    if trunk_seed is not None:
+        wrapped["__vpt_trunk_seed__"] = np.asarray(int(trunk_seed))
     ckptr.save(os.path.abspath(path), wrapped, force=True)
     ckptr.wait_until_finished()
 
@@ -112,6 +129,7 @@ def load_params(path: str):
                 v = v.view(ml_dtypes_name_to_dtype("bfloat16"))
             flat[k] = jnp.asarray(v)
         version = int(flat.pop("__vpt_format__", 0))
+        trunk_seed = flat.pop("__vpt_trunk_seed__", None)
         if version not in (0, FORMAT_VERSION):
             raise ValueError(
                 f"{path}: param format v{version}, this build expects "
@@ -126,7 +144,12 @@ def load_params(path: str):
                 "be scrambled — re-export with tools/import_vit.py",
                 stacklevel=2,
             )
-        return _unflatten(flat)
+        tree = _unflatten(flat)
+        if trunk_seed is not None:
+            # HEAD-ONLY file (see save_params): the trunk is regenerated by
+            # load_or_init from this seed; surface the marker in-tree.
+            tree["__trunk_seed__"] = int(np.asarray(trunk_seed))
+        return tree
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -138,7 +161,10 @@ def load_params(path: str):
                 f"{path}: param format v{version}, this build expects "
                 f"v{FORMAT_VERSION}"
             )
-        return tree["params"]
+        out = tree["params"]
+        if "__vpt_trunk_seed__" in tree:
+            out = dict(out, __trunk_seed__=int(np.asarray(tree["__vpt_trunk_seed__"])))
+        return out
     import warnings
 
     warnings.warn(
@@ -152,7 +178,19 @@ def load_params(path: str):
 
 def load_or_init(checkpoint: str, spec: VitSpec, seed: int = 0):
     if checkpoint:
-        return load_params(checkpoint)
+        prm = load_params(checkpoint)
+        ts = prm.pop("__trunk_seed__", None) if isinstance(prm, dict) else None
+        if ts is not None:
+            # HEAD-ONLY checkpoint (save_params trunk_seed): regenerate the
+            # byte-frozen random trunk exactly as the trainer initialized it
+            # (training/train.py init_fn == this construction) and attach
+            # the stored head. init_vit_params with head_depth>0 keys the
+            # head independently (fold_in 0x4EAD), so trunk leaves are
+            # identical with or without a head in the spec.
+            init = jax.jit(init_vit_params, static_argnames="spec")
+            trunk = init(jax.random.key(int(ts) ^ 0x5EED), spec)
+            prm = dict(trunk, head=prm["head"])
+        return prm
     # (random init below is layout-free — iid entries)
     # One jitted executable for the whole init: on a remote-tunneled TPU,
     # eager init would dispatch ~150 individually-compiled ops; jitting

@@ -320,6 +320,17 @@ def train_features(cfg, log=None) -> dict:
             to_save = jax.device_get(params)
             if tr.checkpoint_dtype == "bfloat16":
                 to_save = jax.tree.map(lambda x: x.astype(jnp.bfloat16), to_save)
-            save_params(tr.checkpoint_out, to_save)
+            # Residual-head runs: the trunk is byte-frozen random init
+            # (freeze_head_only), so store ONLY the head + the seed that
+            # regenerates the trunk (save_params trunk_seed) — a ViT-L f32
+            # checkpoint shrinks ~1.25 GB -> ~50 MB. checkpoint_dtype only
+            # quantizes the stored head leaves; the trunk is regenerated in
+            # pristine f32 either way.
+            if cfg.model.head_depth > 0:
+                save_params(
+                    tr.checkpoint_out, to_save, trunk_seed=cfg.filter.seed
+                )
+            else:
+                save_params(tr.checkpoint_out, to_save)
             log(f"saved {tr.checkpoint_out}")
     return params

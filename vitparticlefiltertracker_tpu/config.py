@@ -447,6 +447,15 @@ class TrainConfig:
     eval_every: int = 0
     eval_frames: int = 32  # probe clip length (frames)
     eval_particles: int = 512  # probe particle count
+    # Probe clip families (training/probe.py); checkpoint selection
+    # minimizes their mean RMSE. Match them to what the checkpoint will
+    # SERVE: the flagship B/16 head probes lookalikes (its raison d'etre),
+    # the eval3 L/16 head probes the needle clip instead.
+    eval_clips: list[str] = field(
+        default_factory=lambda: [
+            "moving-square", "photometric", "rotation", "lookalikes",
+        ]
+    )
 
     def resolve(self) -> "TrainConfig":
         if self.steps <= 0 or self.batch_size <= 0:

@@ -253,7 +253,10 @@ def train_features(cfg, log=None) -> dict:
         from vitparticlefiltertracker_tpu.training.probe import make_probe
 
         probe = make_probe(
-            cfg, frames=tr.eval_frames, num_particles=tr.eval_particles
+            cfg,
+            clips=tuple(tr.eval_clips),
+            frames=tr.eval_frames,
+            num_particles=tr.eval_particles,
         )
     best = {"rmse": float("inf"), "params": None, "step": 0}
 

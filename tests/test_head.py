@@ -196,6 +196,26 @@ def test_head_only_checkpoint_roundtrip(tmp_path):
         save_params(str(tmp_path / "x.npz"), {"blocks": {}}, trunk_seed=0)
 
 
+def test_banked_tracker_with_head():
+    """The split-cosine plumbing must survive vmap over banks (the eval4
+    multi-object geometry runs the head through MultiTracker)."""
+    from vitparticlefiltertracker_tpu.runtime.banked import MultiTracker
+
+    cfg = _cfg(1, 0.25)
+    cfg.runtime.banks = 2
+    cfg.io.source = "synthetic:moving-square"
+    src = open_source(cfg.io.source, 8, (224, 224), seed=0)
+    frames = list(src)
+    mt = MultiTracker(cfg)
+    bboxes = np.tile(np.asarray(src.init_bbox, np.float32), (2, 1))
+    mt.init(frames[0], bboxes)
+    for f in frames[1:]:
+        recs = mt.step(f)
+    pos = np.asarray([r["position"] for r in recs])
+    err = np.linalg.norm(pos - src.truth[len(frames) - 1][None], axis=1)
+    assert np.all(err < 20.0), (pos, src.truth[len(frames) - 1])
+
+
 def test_head_requires_dense_mode():
     with pytest.raises(ValueError, match="dense"):
         Config.from_dict({

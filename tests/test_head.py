@@ -216,6 +216,46 @@ def test_banked_tracker_with_head():
     assert np.all(err < 20.0), (pos, src.truth[len(frames) - 1])
 
 
+def test_head_training_on_imported_trunk(tmp_path):
+    """model.checkpoint in a train config initializes from existing weights:
+    the head trains ON TOP of an imported trunk (stand-in for a
+    tools/import_vit.py checkpoint), the trunk stays frozen at the LOADED
+    values, and the save is a FULL file (no trunk-seed marker — the trunk
+    is not regenerable from filter.seed)."""
+    from vitparticlefiltertracker_tpu.models.params import save_params
+    from vitparticlefiltertracker_tpu.training.train import train_features
+
+    # "Imported" trunk: random init under a DIFFERENT seed, saved headless.
+    spec = VitSpec.from_config(_cfg(0, 0.5).model)._replace(use_pos_embed=False)
+    foreign = init_vit_params(jax.random.key(12345), spec)
+    src_path = str(tmp_path / "imported.npz")
+    save_params(src_path, foreign)
+
+    out_path = str(tmp_path / "head_on_imported.npz")
+    cfg = Config.from_dict({
+        "model": {"variant": "vit-t16", "image_size": 64, "dtype": "float32",
+                  "use_flash_attention": False, "head_depth": 1,
+                  "checkpoint": src_path},
+        "train": {"steps": 2, "batch_size": 2, "canvas": 96, "lr": 1e-3,
+                  "cloud_particles": 8, "num_random_negatives": 2,
+                  "checkpoint_out": out_path, "log_every": 1},
+    })
+    trained = train_features(cfg, log=lambda s: None)
+    for a, b in zip(
+        jax.tree.leaves({k: v for k, v in foreign.items() if k != "head"}),
+        jax.tree.leaves({k: v for k, v in trained.items() if k != "head"}),
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (
+            "imported trunk must stay frozen at the LOADED values"
+        )
+    import numpy as np_
+
+    with np_.load(out_path) as z:
+        keys = set(z.files)
+    assert any(k.startswith("blocks/") for k in keys), "full save expected"
+    assert "__vpt_trunk_seed__" not in keys
+
+
 def test_head_requires_dense_mode():
     with pytest.raises(ValueError, match="dense"):
         Config.from_dict({

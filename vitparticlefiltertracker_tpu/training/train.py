@@ -269,6 +269,39 @@ def train_features(cfg, log=None) -> dict:
         return pm
 
     params, opt_state = init_jit()
+    # model.checkpoint in a TRAIN config: initialize from existing weights
+    # instead of random init — continue a previous run, or train the
+    # residual head ON TOP OF an imported pretrained trunk (e.g. a
+    # tools/import_vit.py HF checkpoint: real-video deployments want the
+    # pretrained features AND the in-repo discriminative head). The loaded
+    # trunk replaces the random one (cast to f32 masters); a fresh head
+    # from init_fn is kept when the file has none. AdamW state needs no
+    # rebuild — its mu/nu are zeros regardless of the params' values.
+    trunk_from_seed = True
+    if cfg.model.checkpoint:
+        from vitparticlefiltertracker_tpu.models.params import load_params
+        from vitparticlefiltertracker_tpu.models.vit import init_vit_params
+
+        ck = load_params(cfg.model.checkpoint)
+        ck_seed = ck.pop("__trunk_seed__", None) if isinstance(ck, dict) else None
+        if ck_seed is not None:
+            # head-only file: regenerate its frozen trunk (models/params.py)
+            es_full = _train_embed_spec(cfg)
+            trunk = jax.jit(init_vit_params, static_argnames="spec")(
+                jax.random.key(int(ck_seed) ^ 0x5EED), es_full.vit
+            )
+            ck = dict(trunk, head=ck["head"])
+        ck = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), ck)
+        if cfg.model.head_depth > 0 and "head" not in ck:
+            ck = dict(ck, head=params["head"])  # fresh head on loaded trunk
+        params = jax.device_put(ck)
+        # Head-only SAVING stays valid only if the trunk is still exactly
+        # the seeded random init this config would regenerate at load.
+        trunk_from_seed = ck_seed is not None and int(ck_seed) == cfg.filter.seed
+        log(
+            f"initialized from {cfg.model.checkpoint}"
+            + (" (head-only: trunk regenerated)" if ck_seed is not None else "")
+        )
     if probe is not None:
         # Step-0 probe: the random-init baseline under IDENTICAL probe
         # settings — the apples-to-apples reference every later probe is
@@ -329,11 +362,13 @@ def train_features(cfg, log=None) -> dict:
             # checkpoint shrinks ~1.25 GB -> ~50 MB. checkpoint_dtype only
             # quantizes the stored head leaves; the trunk is regenerated in
             # pristine f32 either way.
-            if cfg.model.head_depth > 0:
+            if cfg.model.head_depth > 0 and trunk_from_seed:
                 save_params(
                     tr.checkpoint_out, to_save, trunk_seed=cfg.filter.seed
                 )
             else:
+                # Imported/non-seeded trunk: the full tree must be stored
+                # (a trunk_seed marker would regenerate the WRONG trunk).
                 save_params(tr.checkpoint_out, to_save)
             log(f"saved {tr.checkpoint_out}")
     return params

@@ -222,3 +222,32 @@ def test_freeze_prefix_pins_early_layers():
     )
     with np.testing.assert_raises(ValueError):
         build_train_step(tiny_train_cfg(freeze_prefix=2))  # depth 2 model
+
+
+def test_blur_augmentation():
+    """train.blur_prob: codec-like low-pass (training/data.py:_sep_blur) —
+    blurred samples lose high-frequency energy, non-blurred are untouched,
+    and the probe's +blur clip variant stages a blurred copy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vitparticlefiltertracker_tpu.training.data import _sep_blur
+    from vitparticlefiltertracker_tpu.training.probe import _blur_clip
+
+    img = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (32, 32, 3)), jnp.float32
+    )
+    out_on = np.asarray(_sep_blur(img, jnp.float32(1.0), jnp.float32(1.0)))
+    out_off = np.asarray(_sep_blur(img, jnp.float32(1.0), jnp.float32(0.0)))
+    assert np.array_equal(out_off, np.asarray(img))
+    assert np.isfinite(out_on).all()
+    # blur removes variance (high-frequency energy)
+    assert out_on.std() < np.asarray(img).std() * 0.9
+    # energy preserved (kernel sums to 1, edge-padded)
+    assert abs(out_on.mean() - np.asarray(img).mean()) < 2.0
+
+    clip = np.random.default_rng(1).integers(0, 255, (3, 16, 16, 3)).astype(np.uint8)
+    bl = _blur_clip(clip, 1.0)
+    assert bl.shape == clip.shape and bl.dtype == np.uint8
+    assert bl.astype(np.float32).std() < clip.astype(np.float32).std()

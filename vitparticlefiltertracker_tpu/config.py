@@ -423,6 +423,14 @@ class TrainConfig:
     # spoke harmonic. Residual-head runs raise it — pattern discrimination
     # is the head's only job (the frozen trunk owns localization).
     lookalike_frac: float = 0.35
+    # Codec-like low-pass augmentation (training/data.py:_sep_blur): with
+    # probability blur_prob, blur all three views of a pair with one
+    # sigma ~ U[0.3, blur_sigma]. The mp4 roundtrip eval low-passes the
+    # fine pattern detail clone discrimination rides on; a head trained
+    # only on sharp pixels loses it there (measured round 3: lookalikes
+    # 8.3 px raw vs 45.5 through mp4). 0 disables.
+    blur_prob: float = 0.0
+    blur_sigma: float = 1.2
     # Freeze the patch/pos embed and the first N transformer blocks; train
     # only the top depth-N blocks (+ final LN). Preserves the seeded
     # random-basis matched filter (the measured quality frontier on

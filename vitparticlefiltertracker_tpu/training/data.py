@@ -94,7 +94,39 @@ def _paint_blob(
     return frame * (1.0 - alpha[..., None]) + tex * alpha[..., None]
 
 
-def _synth_pair(key: jax.Array, size: int, look_frac: float = 0.35) -> SceneBatch:
+def _sep_blur(img: jax.Array, sigma: jax.Array, on: jax.Array) -> jax.Array:
+    """7-tap separable Gaussian blur (edge-padded shifted adds — static
+    shapes, pure VPU). Mimics what a video CODEC does to fine pattern
+    detail: the mp4 roundtrip eval (tools/eval_quality.py --mp4) low-passes
+    the spoke harmonics that distinguish lookalike clones, and a head
+    trained only on sharp pixels loses its discrimination there. `on`
+    gates per sample; sigma is traced (tap weights recomputed per call)."""
+    t = jnp.arange(-3, 4, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * jnp.square(t / jnp.maximum(sigma, 1e-3)))
+    k = k / jnp.sum(k)
+
+    def blur1d(x, axis):
+        pad = [(0, 0)] * 3
+        pad[axis] = (3, 3)
+        xp = jnp.pad(x, pad, mode="edge")
+        out = jnp.zeros_like(x)
+        for i in range(7):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(i, i + x.shape[axis])
+            out = out + k[i] * xp[tuple(sl)]
+        return out
+
+    blurred = blur1d(blur1d(img, 0), 1)
+    return jnp.where(on > 0, blurred, img)
+
+
+def _synth_pair(
+    key: jax.Array,
+    size: int,
+    look_frac: float = 0.35,
+    blur_prob: float = 0.0,
+    blur_sigma: float = 1.2,
+) -> SceneBatch:
     """One scene pair; batch axes added by vmap in make_pair_batch."""
     ks = jax.random.split(key, 18)
     s = float(size)
@@ -201,6 +233,18 @@ def _synth_pair(key: jax.Array, size: int, look_frac: float = 0.35) -> SceneBatc
     occ_color = jax.random.uniform(ks[16], (3,), minval=40.0, maxval=160.0)
     frame1 = frame1 * (1.0 - occ_mask)[None, :, None] + occ_color * occ_mask[None, :, None]
 
+    # Codec-like low-pass (see _sep_blur): one sigma per pair, applied to
+    # ALL THREE views — a real mp4 roundtrip degrades the template frame
+    # and the search frames alike. Applied pre-noise (codecs smooth the
+    # scene; sensor/quantization noise rides on top of the decode).
+    if blur_prob > 0.0:
+        k_bl, k_bs = jax.random.split(jax.random.fold_in(key, 131), 2)
+        bl_on = (jax.random.uniform(k_bl, ()) < blur_prob).astype(jnp.float32)
+        bl_sig = jax.random.uniform(k_bs, (), minval=0.3, maxval=blur_sigma)
+        frame0 = _sep_blur(frame0, bl_sig, bl_on)
+        frame1 = _sep_blur(frame1, bl_sig, bl_on)
+        frame2 = _sep_blur(frame2, bl_sig, bl_on)
+
     gain = jnp.exp(0.22 * jax.random.normal(ks[17], ()))
     k_noise0, k_noise1, k_bias, k_cg = jax.random.split(
         jax.random.fold_in(key, 99), 4
@@ -236,14 +280,20 @@ def _synth_pair(key: jax.Array, size: int, look_frac: float = 0.35) -> SceneBatc
 
 
 def make_pair_batch(
-    key: jax.Array, batch: int, size: int, look_frac: float = 0.35
+    key: jax.Array,
+    batch: int,
+    size: int,
+    look_frac: float = 0.35,
+    blur_prob: float = 0.0,
+    blur_sigma: float = 1.2,
 ) -> SceneBatch:
     """[B]-batched scene pairs; jit/vmap-safe, counter-based (fold_in step).
 
     look_frac (train.lookalike_frac): fraction of samples whose distractor
     is a lookalike clone. Residual-head training raises it — discrimination
     is the head's ONLY job, so most of its gradient should come from the
-    hard subset."""
-    return jax.vmap(lambda k: _synth_pair(k, size, look_frac))(
-        jax.random.split(key, batch)
-    )
+    hard subset. blur_prob/blur_sigma (train.blur_*): codec-like low-pass
+    augmentation, see _sep_blur."""
+    return jax.vmap(
+        lambda k: _synth_pair(k, size, look_frac, blur_prob, blur_sigma)
+    )(jax.random.split(key, batch))

@@ -32,6 +32,26 @@ PROBE_OVERRIDES: dict[str, dict[str, str]] = {
 }
 
 
+def _blur_clip(arr: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable 7-tap Gaussian over a uint8 clip [T, H, W, 3] (host-side
+    numpy; probe staging only)."""
+    t = np.arange(-3, 4, dtype=np.float32)
+    k = np.exp(-0.5 * np.square(t / sigma))
+    k /= k.sum()
+    x = arr.astype(np.float32)
+    for axis in (1, 2):
+        pad = [(0, 0)] * 4
+        pad[axis] = (3, 3)
+        xp = np.pad(x, pad, mode="edge")
+        acc = np.zeros_like(x)
+        for i in range(7):
+            sl = [slice(None)] * 4
+            sl[axis] = slice(i, i + x.shape[axis])
+            acc += k[i] * xp[tuple(sl)]
+        x = acc
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
 def make_probe(
     train_cfg,
     clips: tuple[str, ...] = (
@@ -83,7 +103,8 @@ def make_probe(
     cfgs: dict[frozenset, tuple] = {}
     staged = []
     for clip in clips:
-        ov = PROBE_OVERRIDES.get(clip, {})
+        fam = clip[: -len("+blur")] if clip.endswith("+blur") else clip
+        ov = PROBE_OVERRIDES.get(fam, {})
         ck = frozenset(ov.items())
         if ck not in cfgs:
             cfg = Config.from_dict(base)
@@ -92,8 +113,14 @@ def make_probe(
             cfg = cfg.resolve()
             cfgs[ck] = (cfg, Tracker(cfg))
         cfg, tracker = cfgs[ck]
-        src = open_source(f"synthetic:{clip}", frames, frame_size, seed=seed)
+        src = open_source(f"synthetic:{fam}", frames, frame_size, seed=seed)
         arr = np.stack(list(src))
+        if clip.endswith("+blur"):
+            # Codec-proxy probe (train.blur_* augmentation): a 7-tap
+            # sigma=1.0 Gaussian approximates what the mp4 roundtrip eval
+            # does to fine pattern detail, without paying a cv2 encode in
+            # the training loop. Selection then sees the blurred regime.
+            arr = _blur_clip(arr, 1.0)
         staged.append(
             (
                 clip,

@@ -127,6 +127,8 @@ def build_train_step(cfg, mesh=None):
                 tr.batch_size,
                 tr.canvas,
                 tr.lookalike_frac,
+                tr.blur_prob,
+                tr.blur_sigma,
             )
         )
         # Keys stay replicated (key arrays + sharding constraints are

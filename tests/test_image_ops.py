@@ -148,3 +148,83 @@ def test_roi_cells_cos_fused_matches_reference():
         want = _cos_to_template(cells, tmpl)
         got = roi_cells_cos_mxu(feat, me, tmpl, centers, sizes, grid)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_roi_pool_cos_fused_matches_reference():
+    """roi_pool_cos_mxu == roi_pool_mxu -> center -> normalized cosine (the
+    pooled hot path must be a pure reordering of sums — it is what keeps the
+    [N, Gw*D] pooled intermediate out of HBM at 16k particles)."""
+    from vitparticlefiltertracker_tpu.ops.image import roi_pool_cos_mxu
+    from vitparticlefiltertracker_tpu.ops.likelihood import (
+        _cos_to_template,
+        center_embeddings,
+        l2_normalize,
+    )
+
+    key = jax.random.key(12)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    gh = gw = 14
+    d = 64
+    grid = 5
+    n = 41
+    feat = jax.random.normal(k1, (gh, gw, d), jnp.float32)
+    mean_emb = jnp.mean(feat.reshape(-1, d), axis=0)
+    tmpl = l2_normalize(jax.random.normal(k2, (d,), jnp.float32))
+    # centers spanning interior AND clamped edges; varied sizes
+    centers = jax.random.uniform(k3, (n, 2), minval=-2.0, maxval=15.0)
+    sizes = jax.random.uniform(k4, (n, 2), minval=0.5, maxval=6.0)
+
+    for me in (mean_emb, None):
+        emb = roi_pool_mxu(feat, centers, sizes, grid)
+        if me is not None:
+            emb = center_embeddings(emb, me)
+        want = _cos_to_template(emb, tmpl)
+        got = roi_pool_cos_mxu(feat, me, tmpl, centers, sizes, grid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_dense_pooled_score_matches_pool_path():
+    """score_from_feat(appearance='pooled') == pool_from_feat + cosine, with
+    and without a residual-head split (the tracker's dense-pooled hot path
+    switched to the fused scorer; this pins the equivalence end-to-end at
+    the embedder level, split blending included)."""
+    from vitparticlefiltertracker_tpu.models.embedder import (
+        DenseEmbedSpec,
+        pool_from_feat,
+        score_from_feat,
+    )
+    from vitparticlefiltertracker_tpu.models.vit import VitSpec
+    from vitparticlefiltertracker_tpu.ops.likelihood import (
+        _cos_to_template,
+        l2_normalize_split,
+    )
+
+    key = jax.random.key(13)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n = 29
+    center = jnp.asarray([160.0, 120.0])
+    side = jnp.float32(96.0)
+    boxes_xy = center[None] + jax.random.uniform(k3, (n, 2), minval=-60.0, maxval=60.0)
+    boxes_wh = jax.random.uniform(k4, (n, 2), minval=8.0, maxval=40.0)
+
+    for head_depth, d_out in ((0, 48), (2, 96)):
+        spec = VitSpec(
+            depth=1, dim=48, heads=4, mlp_dim=96, patch_size=16, image_size=64,
+            use_pos_embed=False, head_depth=head_depth,
+        )
+        es = DenseEmbedSpec(
+            vit=spec, s_img=64, patch=16, appearance="pooled", roi_grid=3,
+            center_features=True, head_blend=0.5,
+        )
+        feat = jax.random.normal(k1, (4, 4, d_out), jnp.float32)
+        mean_emb = jnp.mean(feat.reshape(-1, d_out), axis=0)
+        tmpl = l2_normalize_split(
+            jax.random.normal(k2, (d_out,), jnp.float32), es.split
+        )
+        emb, in_ref = pool_from_feat(feat, mean_emb, center, side, es, boxes_xy, boxes_wh)
+        want = _cos_to_template(emb, tmpl, es.split)
+        got, in_win = score_from_feat(
+            feat, mean_emb, center, side, es, tmpl, boxes_xy, boxes_wh
+        )
+        np.testing.assert_array_equal(np.asarray(in_win), np.asarray(in_ref))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)

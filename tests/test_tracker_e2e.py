@@ -629,3 +629,13 @@ def test_donate_state_false_keeps_old_state_readable():
     tr.step(frames[1])
     # With donation this readback raises (buffer deleted); without, it works.
     assert np.isfinite(np.asarray(old.pf.particles)).all()
+
+
+def test_pooled_appearance_tracks():
+    """tracker.appearance='pooled' (the eval-5 scoring mode, now running the
+    fused roi_pool_cos_mxu scorer) tracks the flagship synthetic clip: the
+    fused cosine path must behave like an appearance model end-to-end, not
+    just match pool_from_feat numerically (tests/test_image_ops.py)."""
+    cfg = tiny_cfg(tracker={"appearance": "pooled"})
+    recs, errs = run_clip(cfg)
+    assert np.sqrt(np.mean(np.square(errs))) < 8.0, errs

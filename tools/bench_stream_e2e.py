@@ -79,6 +79,33 @@ VARIANTS = {
         "roi": {"px": 1600, "out": 288, "glob_stride": 8, "glob_every": 8},
         "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
     },
+    # RMSE lever (round-3 VERDICT weak #6): dense-mode localization noise
+    # scales with the window's 224-grid sample spacing — search_scale 4.0
+    # puts the 4K window at 1232px (5.5 px/sample) vs 616px (2.75) at
+    # 1080p, the measured 7.6-vs-4.0 RMSE ratio. With ROI steering + global
+    # re-detection already bounding prediction error, the window does not
+    # need 4x the box: 2.5x samples at 3.4 px and the ROI span shrinks
+    # (1200px as a 352² view keeps the view stride at the window's own
+    # sample spacing, so the resample stays lossless).
+    "eval5-roi-c4-ss25": {
+        "model": "vit-l16", "particles": 16384, "frame": (2160, 3840),
+        "frames": 240, "chunk": 4,
+        "roi": {"px": 1200, "out": 352, "glob_stride": 8, "glob_every": 8},
+        "tracker": {**EVAL5_TRACKER, "search_scale": 2.5},
+        "lost_ratio": 0.55,
+    },
+    # ROI-escape recovery measured AT 4K (round-3 VERDICT missing #4): the
+    # teleport clip re-enters in a different quadrant — far outside the
+    # shipped ROI — so recovery MUST ride the decimated global view's
+    # re-detection. Python procedural source (the native ring is moving-
+    # square only), so fps here is decode-bound; the row's metric is
+    # recover_err_px (mean error once the target is back + settled).
+    "eval5-roi-teleport-c4": {
+        "model": "vit-l16", "particles": 16384, "frame": (2160, 3840),
+        "frames": 120, "chunk": 4, "clip": "teleport",
+        "roi": {"px": 1600, "stride": 4, "glob_stride": 8, "glob_every": 4},
+        "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
+    },
     "1080p": {"model": "vit-l16", "particles": 16384, "frame": (1080, 1920), "frames": 16},
     "1080p-roi": {
         "model": "vit-l16", "particles": 16384, "frame": (1080, 1920),
@@ -139,7 +166,11 @@ def run_variant(name: str) -> dict:
     from vitparticlefiltertracker_tpu.io import native as native_io
 
     n_frames = v["frames"] + 1
-    if native_io.available():
+    clip = v.get("clip")  # non-default family -> python procedural source
+    if clip is not None:
+        src = open_source(f"synthetic:{clip}", n_frames, (h, w))
+        source_kind = f"python-synthetic ({clip})"
+    elif native_io.available():
         src = native_io.NativeSyntheticSource(n_frames, h, w, seed=0)
         source_kind = "native-synthetic (C++ ring)"
     else:
@@ -182,14 +213,20 @@ def run_variant(name: str) -> dict:
     chunk = int(v.get("chunk", 1))
     if chunk > 1:
         # Warm the CHUNK executable (C-frame scan: its own compile).
-        warm_dev = ship.ship_native_chunk(src, [0] * chunk)
-        out = tracker.step_chunk_device(warm_dev)
+        # Python sources (non-default clips) have no read_rect: warm via
+        # the host-crop chunk shipper on zero frames instead.
+        def warm_chunk():
+            if hasattr(src, "read_rect"):
+                return ship.ship_native_chunk(src, [0] * chunk)
+            return ship.ship_chunk([warm] * chunk, list(range(chunk)))
+
+        out = tracker.step_chunk_device(warm_chunk())
         np.asarray(out.position)
         # Warm the fused step+pack executable the records pipeline runs
         # (stream_track switches to it after the first chunk).
-        np.asarray(tracker.step_chunk_packed(ship.ship_native_chunk(src, [0] * chunk)))
+        np.asarray(tracker.step_chunk_packed(warm_chunk()))
         t_dev0 = time.perf_counter()
-        out = tracker.step_chunk_device(ship.ship_native_chunk(src, [0] * chunk))
+        out = tracker.step_chunk_device(warm_chunk())
         np.asarray(out.position)
         step_rtt_ms = (time.perf_counter() - t_dev0) * 1e3 / chunk
     else:
@@ -240,13 +277,25 @@ def run_variant(name: str) -> dict:
     }
     if roi and recs and getattr(src, "truth", None) is not None:
         truth = np.asarray(src.truth)
-        errs = [
-            float(np.hypot(r["position"][0] - truth[r["frame"]][0],
-                           r["position"][1] - truth[r["frame"]][1]))
+        pairs = [
+            (r["frame"],
+             float(np.hypot(r["position"][0] - truth[r["frame"]][0],
+                            r["position"][1] - truth[r["frame"]][1])))
             for r in recs if r["frame"] < len(truth)
         ]
+        errs = [e for _, e in pairs]
         row["track_rmse_px"] = round(float(np.sqrt(np.mean(np.square(errs)))), 1)
         row["track_lost_frames"] = int(sum(bool(np.any(r["lost"])) for r in recs))
+        if clip == "teleport":
+            # Recovery metric: error once the target has been visible again
+            # for 10 frames (whole-trajectory RMSE is dominated by the
+            # hidden span, where no tracker can score).
+            from vitparticlefiltertracker_tpu.io.synthetic import teleport_times
+
+            _, t_show = teleport_times(n_frames)
+            late = [e for f, e in pairs if f >= t_show + 10]
+            row["teleport_show_frame"] = int(t_show)
+            row["recover_err_px"] = round(float(np.mean(late)), 1) if late else None
     print(json.dumps(row), flush=True)
     return row
 

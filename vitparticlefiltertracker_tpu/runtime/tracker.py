@@ -339,11 +339,13 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             )
         else:
             tmpl = state.template
-        if mode == "dense" and t.appearance == "cells":
+        if mode == "dense":
             # Fused particle scoring: cosines straight from the token grid
-            # without materializing [N, K, K, D] cell embeddings (the
-            # pooling stage previously out-weighed the ViT forward at high
-            # particle counts — models/embedder.py:score_from_feat).
+            # without materializing per-particle embeddings — neither the
+            # cells path's [N, K, K, D] nor the pooled path's [N, Gw*D]
+            # intermediate reaches HBM (the pooling stage previously
+            # out-weighed the ViT forward at high particle counts —
+            # models/embedder.py:score_from_feat).
             cos, in_win = pool.score(tmpl, boxes_xy, boxes_wh)
             if use_znorm:
                 # Masked stats: out-of-window particles' clamped-edge

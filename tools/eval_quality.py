@@ -270,12 +270,23 @@ def render_quality_md() -> None:
             "k=2 trained blocks add a second feature half, scored as "
             "(1-b)*cos_trunk + b*cos_head — at b=0 the tracker IS random "
             "init bit-exactly (tests/test_head.py), so training can only "
-            "add. Measured at b=0.5: trained wins 6 of 8 flagship families "
-            "outright (lookalikes 24.8->8.3 px with final-5 1.8 — the true "
-            "target is re-acquired after the occlusion on every seed; "
-            "occlusion 13.7->6.5; moving-square 2.2->1.5; surveillance "
-            "1.4->1.0; photometric 2.2->1.9; rotation 2.3->2.0) and ties "
-            "needle/teleport within noise. The `lookalikes` family is the "
+            "add. The shipped checkpoint is BLUR-AUGMENTED (train.blur_prob "
+            "0.5 — half the training pairs pass through a codec-like "
+            "low-pass, and checkpoint selection probes a blurred lookalikes "
+            "clip): round 3's un-blurred head collapsed to 45.5 px on "
+            "lookalikes+mp4 because the codec stripped the spoke detail its "
+            "clone rejection rode on; the blur-trained head holds 7.1 px "
+            "through the SAME mp4 encode->decode. Measured at b=0.5: "
+            "trained wins 7 of 8 flagship families on BOTH raw and mp4 "
+            "rows (lookalikes 24.8->6.7 raw / 38.8->7.1 mp4; occlusion "
+            "13.7->7.7 / 16.9->5.6; teleport 1.0->0.7; moving-square "
+            "2.2->1.4; surveillance 1.4->1.0; photometric 2.2->1.7; "
+            "rotation 2.3->1.8). needle is the one case random still wins "
+            "(2.7 vs 3.0 raw, 2.7 vs 4.2 mp4): the aperture case is pure "
+            "matched-filter localization, where the head half can only tax "
+            "the trunk's landscape — aperture-prone scenes should ship a "
+            "lower model.head_blend (see configs/robust-head.yaml). The "
+            "`lookalikes` family is the "
             "case BUILT to need learning (reference README.md:7 'object "
             "recognition'): distractors share the target's colors/size and "
             "differ only in pattern detail, which random projections blur "

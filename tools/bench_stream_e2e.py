@@ -79,6 +79,16 @@ VARIANTS = {
         "roi": {"px": 1600, "out": 288, "glob_stride": 8, "glob_every": 8},
         "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
     },
+    # 4K streaming soak (round-3 VERDICT missing #3): 1,000 frames through
+    # the exact eval5-roi-c4 pipeline — sustained fps + RMSE + lost count
+    # over a run ~4x the headline's, so one congested relay window can't
+    # masquerade as the steady state.
+    "eval5-roi-c4-soak1k": {
+        "model": "vit-l16", "particles": 16384, "frame": (2160, 3840),
+        "frames": 1000, "chunk": 4,
+        "roi": {"px": 1600, "out": 288, "glob_stride": 8, "glob_every": 8},
+        "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
+    },
     # RMSE lever (round-3 VERDICT weak #6): dense-mode localization noise
     # scales with the window's 224-grid sample spacing — search_scale 4.0
     # puts the 4K window at 1232px (5.5 px/sample) vs 616px (2.75) at

@@ -207,6 +207,22 @@ def render_md(primary_backend: str) -> None:
                     f"| {rmse} | {r['ingest_wait_s']} | {r['submit_s']} "
                     f"| {r.get('readback_s', '')} | {r['h2d_MBps']} |\n"
                 )
+            repeated = [r for r in stream if r.get("runs", 1) > 1]
+            if repeated:
+                f.write(
+                    "\nRepeated variants (fps column = median run; the full "
+                    "distribution is the evidence against relay-congestion "
+                    "luck):\n\n"
+                )
+                for r in repeated:
+                    runs = ", ".join(f"{v}" for v in r["fps_runs"])
+                    f.write(
+                        f"- `{r['variant']}`: {r['runs']} back-to-back runs "
+                        f"— fps min/median/max = {r['fps_min']}/"
+                        f"{r['fps_median']}/{r['fps_max']} "
+                        f"(runs: {runs}); RMSE "
+                        f"{'-'.join(str(v) for v in sorted(set(r.get('rmse_runs', []))))} px.\n"
+                    )
     print(f"wrote {md}")
 
 

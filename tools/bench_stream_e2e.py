@@ -326,8 +326,28 @@ def main() -> int:
                 if line.strip():
                     r = json.loads(line)
                     merged[r["variant"]] = r
+    # The relay's H2D bandwidth swings 2-3x with congestion, so one run is a
+    # claim, not evidence: a variant repeated N>1 times in one invocation is
+    # folded into ONE row carrying the median run's stage breakdown plus the
+    # full fps distribution (fps_runs / fps_min / fps_max, and the per-run
+    # RMSEs) so min-over-repeats stays documented.
+    by_variant: dict[str, list[dict]] = {}
     for r in rows:
-        merged[r["variant"]] = r
+        by_variant.setdefault(r["variant"], []).append(r)
+    for variant, runs in by_variant.items():
+        if len(runs) == 1:
+            merged[variant] = runs[0]
+            continue
+        ordered = sorted(runs, key=lambda r: r["fps"])
+        rep = dict(ordered[len(ordered) // 2])  # median-fps run's breakdown
+        rep["runs"] = len(runs)
+        rep["fps_runs"] = [r["fps"] for r in runs]
+        rep["fps_min"] = ordered[0]["fps"]
+        rep["fps"] = rep["fps_median"] = ordered[len(ordered) // 2]["fps"]
+        rep["fps_max"] = ordered[-1]["fps"]
+        if any("track_rmse_px" in r for r in runs):
+            rep["rmse_runs"] = [r.get("track_rmse_px") for r in runs]
+        merged[variant] = rep
     with open(out, "w") as f:
         for key in sorted(merged):
             f.write(json.dumps(merged[key]) + "\n")

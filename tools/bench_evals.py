@@ -192,6 +192,17 @@ def render_md(primary_backend: str) -> None:
                 "stacked-crop H2D + one jitted scan per 4 frames, "
                 "amortizing the ~11 ms/dispatch relay submission cost "
                 "that binds the chunk-1 ROI rows).\n\n"
+                "RMSE vs resolution: dense-mode localization noise scales "
+                "with the search window's 224-grid sample spacing, and the "
+                "window spans scale with the target (search_scale x box), "
+                "so pixel RMSE grows with resolution at constant RELATIVE "
+                "accuracy — 4K's ~8 px at 5.5 px/sample and 1080p's 4.0 px "
+                "at 2.75 px/sample are both ~1.5 samples. Shrinking the 4K "
+                "window to buy finer sampling was measured and rejected "
+                "(`eval5-roi-c4-ss25`: search_scale 2.5 -> RMSE 11.4 — the "
+                "lost window slack costs more than the sampling gains); "
+                "in-chunk crop centers already dead-reckon per frame "
+                "(RoiShipper._predict per idx).\n\n"
                 "| variant | model/particles | frame | chunk | fps (e2e) "
                 "| shipped MB | track RMSE px | ingest wait s | submit s "
                 "| readback s | H2D MB/s |\n"

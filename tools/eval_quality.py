@@ -299,6 +299,15 @@ def render_quality_md() -> None:
             "feature-agnostic gates, and the torch-parity-tested importer "
             "(tools/import_vit.py) for real pretrained backbones (this "
             "rig has no network egress).\n"
+            "- Checkpoint provenance: `checkpoints/vit_b16_head.npz` is the "
+            "blur-augmented run (train-head.yaml, round 4). "
+            "`checkpoints/vit_l16_head.npz` predates the blur augmentation "
+            "(configs/train-head-l16.yaml now carries blur_prob 0.5 for "
+            "the next retrain); its eval3 needle role is the aperture/"
+            "matched-filter regime where codec low-pass is not the failure "
+            "mode the blur fix targets, so the known mp4 collapse risk is "
+            "specific to the lookalike-recognition job the B/16 head "
+            "serves.\n"
         )
     print(f"wrote {md}", file=sys.stderr)
 

@@ -203,6 +203,15 @@ def render_md(primary_backend: str) -> None:
                 "lost window slack costs more than the sampling gains); "
                 "in-chunk crop centers already dead-reckon per frame "
                 "(RoiShipper._predict per idx).\n\n"
+                "`eval5-roi-teleport-c4` drives ROI-escape recovery at 4K: "
+                "the target re-enters in a different quadrant, far outside "
+                "the shipped crop, so recovery must ride the decimated "
+                "global view's re-detection. Its whole-run RMSE is "
+                "dominated by the hidden span (no tracker can score a "
+                "hidden target); the row's metric is `recover_err_px` — "
+                "mean error once the target has been visible again for 10 "
+                "frames. fps is decode-bound (Python procedural source; "
+                "the native ring is moving-square only).\n\n"
                 "| variant | model/particles | frame | chunk | fps (e2e) "
                 "| shipped MB | track RMSE px | ingest wait s | submit s "
                 "| readback s | H2D MB/s |\n"
@@ -210,6 +219,8 @@ def render_md(primary_backend: str) -> None:
             )
             for r in stream:
                 rmse = r.get("track_rmse_px", "")
+                if r.get("recover_err_px") is not None:
+                    rmse = f"{rmse} (recover {r['recover_err_px']})"
                 f.write(
                     f"| {r['variant']} | {r['model']}/{r['particles']} "
                     f"| {r['frame'][0]}x{r['frame'][1]} "

@@ -339,6 +339,12 @@ def test_roi_stream_occlusion_recovers():
         for r in recs
     ])
     frames_idx = np.array([r["frame"] for r in recs])
-    assert errs.max() > 15.0, errs  # the sweep actually disturbed the track
+    # Recovery is the contract. (A minimum-disturbance assertion used to
+    # live here — `errs.max() > 15` — but it inverts on any robustness
+    # improvement: if the occluder no longer spikes the error, the suite
+    # would fail on a quality WIN. Round-4 ADVICE. Log instead.)
+    if errs.max() <= 15.0:
+        print(f"note: occlusion sweep no longer disturbs the track "
+              f"(max err {errs.max():.1f} px)")
     final = errs[frames_idx >= n - 6]
     assert final.mean() < 15.0, (final, errs)

@@ -243,7 +243,9 @@ def render_md(primary_backend: str) -> None:
                         f"— fps min/median/max = {r['fps_min']}/"
                         f"{r['fps_median']}/{r['fps_max']} "
                         f"(runs: {runs}); RMSE "
-                        f"{'-'.join(str(v) for v in sorted(set(r.get('rmse_runs', []))))} px.\n"
+                        # Repeat runs lacking track_rmse_px store None
+                        # (bench_stream_e2e.py); drop them before sorting.
+                        f"{'-'.join(str(v) for v in sorted({v for v in r.get('rmse_runs', []) if v is not None}))} px.\n"
                     )
     print(f"wrote {md}")
 

@@ -45,8 +45,26 @@ def main() -> int:
         cfg.io.source, max(8, min(16, args.steps)), tuple(cfg.io.frame_size)
     )
     frames = [jax.device_put(f) for f in src]
-    tr = Tracker(cfg)
-    tr.init(np.asarray(jax.device_get(frames[0])), src.init_bbox)
+    # Honor runtime.banks: profiling eval4 with a single-bank Tracker while
+    # the bench runs the 8-bank MultiTracker published two contradictory
+    # "eval4 device step" numbers differing by exactly the bank count
+    # (0.67 vs 5.30 ms, round-4 ADVICE). One step below = one full config
+    # step, same unit as run_benchmark's p50_device_ms.
+    if cfg.runtime.banks > 1:
+        from vitparticlefiltertracker_tpu.runtime.banked import (
+            MultiTracker,
+            banked_bboxes,
+        )
+
+        tr = MultiTracker(cfg)
+        tr.init(
+            np.asarray(jax.device_get(frames[0])),
+            banked_bboxes(np.asarray(src.init_bbox, np.float32),
+                          cfg.runtime.banks),
+        )
+    else:
+        tr = Tracker(cfg)
+        tr.init(np.asarray(jax.device_get(frames[0])), src.init_bbox)
 
     # Warm up (compile) outside the trace.
     for f in frames[1:3]:
@@ -110,13 +128,20 @@ def main() -> int:
     with open(md, "w") as f:
         f.write(
             "# Profiler evidence: on-device step time\n\n"
-            "`python tools/profile_step.py --config <cfg>` — jitted tracker "
-            "steps traced with jax.profiler; the XPlane dump is parsed "
-            "in-process (jax.profiler.ProfileData) and the per-step device "
-            "execution span is read off the TPU plane's 'XLA Modules' line "
-            "(one event per executed module). The bench's `p50_device_ms` "
-            "(runtime/benchmark.py) is measured the same way in-process; "
-            "this standalone report adds the op breakdown. Async-DMA lines "
+            "**FULLY GENERATED** by `python tools/profile_step.py --config "
+            "<cfg>` — do not hand-edit; hardware run records that must "
+            "survive regeneration live in `docs/HARDWARE_RUNS.md`. Jitted "
+            "tracker steps are traced with jax.profiler; the XPlane dump "
+            "is parsed in-process (jax.profiler.ProfileData) and the "
+            "per-step device execution span is read off the TPU plane's "
+            "'XLA Modules' line (one event per executed module). The "
+            "bench's `p50_device_ms` (runtime/benchmark.py) is measured "
+            "the same way in-process and in the SAME unit — one full "
+            "config step, ALL banks included (the profiler builds the "
+            "banked tracker when `runtime.banks > 1`) — so each config's "
+            "`per_step_ms` here must agree with `p50_device_ms` in "
+            "docs/bench_evals_tpu.jsonl up to run-to-run noise; this "
+            "standalone report adds the op breakdown. Async-DMA lines "
             "(weight prefetch under the scan-over-layers) overlap compute "
             "and are excluded from op shares.\n\n"
         )

@@ -1,17 +1,58 @@
-"""Systematic resampling lowered to cumsum + searchsorted inside jit.
+"""Systematic resampling lowered to cumsum + a blocked vectorized rank
+search inside jit.
 
 Semantics are defined by the scalar-loop oracle
 (oracle/numpy_filter.py:systematic_resample_indices); this is the
 TPU-friendly lowering mandated by BASELINE.json:5 ("resampling lowers to
 cumsum+searchsorted inside jit"): a parallel prefix-sum and a vectorized
-binary search, both of which XLA maps onto the VPU with no data-dependent
-control flow — jit/vmap/shard-safe.
+rank computation, both of which XLA maps onto the VPU with no
+data-dependent control flow — jit/vmap/shard-safe.
+
+Why not jnp.searchsorted: its default lowering is a fori_loop over
+log2(N) binary-search iterations — an HLO `while` whose per-iteration
+loop overhead dominated the eval-5 step (round-4 VERDICT weak #7:
+29.8% of a 4.14 ms step at 16k particles was `while`; profiling traced
+the sole while in the whole step to this line). For SORTED queries into
+a SORTED cumsum, searchsorted(side='left') is just a rank:
+idx[i] = #{j : cumsum[j] < p_i}, computable by counting — two levels of
+blocked comparisons, zero sequential iterations, and bit-identical
+indices (the cumsum values are unchanged and counting is exact).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+_LANES = 128  # VPU lane width; block count of the two-level rank search
+
+
+def ranks_in_sorted(keys: jax.Array, queries: jax.Array) -> jax.Array:
+    """rank[i] = #{j : keys[j] < queries[i]} for ASCENDING keys -> [M] int32.
+
+    Equal to jnp.searchsorted(keys, queries, side='left') — verified
+    element-exact in tests/test_resample.py against adversarial inputs
+    (duplicate keys, queries on boundaries) — but lowered as a two-level
+    blocked count: split keys into LANES blocks, count fully-passed blocks
+    via the block maxima [M, LANES], then count within the one candidate
+    block [M, block]. All comparisons are data-independent elementwise ops;
+    the only gather is one row of the blocked keys per query.
+    """
+    n = keys.shape[0]
+    b = _LANES
+    s = -(-n // b)  # block size (ceil)
+    pad = b * s - n
+    if pad:
+        # +inf padding never counts as `< query`, so ranks are unaffected.
+        keys = jnp.concatenate([keys, jnp.full((pad,), jnp.inf, keys.dtype)])
+    blocks = keys.reshape(b, s)
+    bounds = blocks[:, -1]  # last (max) key of each block
+    q = queries[:, None]
+    # Blocks whose max is < q lie entirely below q and contribute `s` each.
+    blk = jnp.sum((bounds[None, :] < q).astype(jnp.int32), axis=1)
+    blk = jnp.minimum(blk, b - 1)  # q above ALL keys: count inside last block
+    inner = jnp.sum((blocks[blk] < q).astype(jnp.int32), axis=1)
+    return blk * s + inner
 
 
 def systematic_resample_indices(weights: jax.Array, u: jax.Array) -> jax.Array:
@@ -27,7 +68,7 @@ def systematic_resample_indices(weights: jax.Array, u: jax.Array) -> jax.Array:
     cumsum = jnp.cumsum(weights)
     # Guard against cumsum[-1] < 1 from float undersum (oracle does the same).
     cumsum = cumsum.at[-1].set(jnp.maximum(cumsum[-1], jnp.asarray(1.0, dtype)))
-    idx = jnp.searchsorted(cumsum, positions, side="left")
+    idx = ranks_in_sorted(cumsum, positions)
     return jnp.clip(idx, 0, n - 1).astype(jnp.int32)
 
 

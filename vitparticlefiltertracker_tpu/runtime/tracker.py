@@ -53,9 +53,11 @@ from vitparticlefiltertracker_tpu.ops.image import (
     view_extract_window_mxu,
 )
 from vitparticlefiltertracker_tpu.ops.likelihood import (
+    auto_blend_target,
     cosine_log_likelihood,
     l2_normalize,
     l2_normalize_split,
+    landscape_spread,
     znormed_log_likelihood,
     znormed_logits_from_cos,
 )
@@ -90,6 +92,11 @@ class TrackerState(NamedTuple):
     # locked (tracker.coast_accel_ema); while lost the coast extrapolates
     # with it, so curved trajectories (the occlusion clip's sine) don't
     # accumulate the constant-velocity error
+    blend: jax.Array  # [] f32 running LIKELIHOOD head-blend (the automatic
+    # blend policy, config model.head_blend_auto; -1 = unseeded — the first
+    # step adopts the static model.head_blend). Gates always use the static
+    # blend; only the particle posterior uses this one. Inert (-1 forever)
+    # when the policy is off.
 
 
 class TrackOutput(NamedTuple):
@@ -225,6 +232,18 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
     # normalize independently. None in headless configs — all paths are
     # then bit-identical to pre-head code.
     split = dense_es.split if mode == "dense" else None
+    # Automatic likelihood-blend policy (config model.head_blend_auto): the
+    # static head_blend keeps governing every DISCRIMINATION decision (conf
+    # for the lost gate, the re-lock probe, global re-detection — all via
+    # `split` above), while the particle LIKELIHOOD blend adapts per step
+    # from the trunk landscape's confusion (ops/likelihood.py).
+    m = cfg.model
+    auto_blend = bool(m.head_blend_auto) and split is not None
+    ab_init = float(min(max(m.head_blend, m.head_blend_min), m.head_blend_max))
+    ab_min, ab_max = float(m.head_blend_min), float(m.head_blend_max)
+    ab_lo, ab_hi = float(m.head_blend_spread_lo), float(m.head_blend_spread_hi)
+    ab_ema = float(m.head_blend_ema)
+    ab_top = float(m.head_blend_top_frac)
 
     def _norm_folded_embed_weights(prm):
         """Fold pixel normalization into the patch-embed affine map:
@@ -312,6 +331,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             coast_xy=center,
             coast_vel=jnp.zeros((2,), jnp.float32),
             coast_acc=jnp.zeros((2,), jnp.float32),
+            blend=jnp.float32(-1.0),  # adopt the static blend on first step
         )
 
     # ---- step -------------------------------------------------------------
@@ -339,7 +359,32 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             )
         else:
             tmpl = state.template
-        if mode == "dense":
+        b_run = state.blend  # passed through unchanged unless auto_blend
+        b_tgt = state.blend
+        if mode == "dense" and auto_blend:
+            # Two blends from one scoring pass (models/embedder.py:
+            # score_halves_from_feat): the LIKELIHOOD uses the running
+            # adaptive blend (state.blend), the gates' confidence keeps the
+            # static head_blend — so the measured lookalike-rejection gate
+            # stack is untouched while localization leans on whichever
+            # feature half currently resolves the scene.
+            cos_f, cos_h, in_win = pool.score_halves(tmpl, boxes_xy, boxes_wh)
+            b_run = jnp.where(state.blend >= 0.0, state.blend, jnp.float32(ab_init))
+            cos_loc = (1.0 - b_run) * cos_f + b_run * cos_h
+            d_static, b_static = split
+            cos = (1.0 - b_static) * cos_f + b_static * cos_h
+            # Confusion signal: softmax-weighted spatial spread of the TRUNK
+            # landscape over the (in-window) particle cloud, in box-diagonal
+            # units. The trunk half is the matched filter whose multimodality
+            # (a lookalike inside the cloud) the head exists to resolve.
+            spread = landscape_spread(cos_f, boxes_xy, ab_top, mask=in_win)
+            box_diag = jnp.linalg.norm(state.box_wh) * state.prev_scale
+            b_tgt = auto_blend_target(spread, box_diag, ab_lo, ab_hi, ab_min, ab_max)
+            if use_znorm:
+                loglik = znormed_logits_from_cos(cos_loc, zscale, mask=in_win)
+            else:
+                loglik = temp * cos_loc
+        elif mode == "dense":
             # Fused particle scoring: cosines straight from the token grid
             # without materializing per-particle embeddings — neither the
             # cells path's [N, K, K, D] nor the pooled path's [N, Gw*D]
@@ -634,6 +679,16 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             lost, vel_lost,
             jnp.where(accepted, jnp.zeros_like(est_vel), est_vel),
         )
+        if auto_blend:
+            # EMA toward the measured target, frozen while lost: the boosted
+            # exploration noise inflates the spread for reasons that aren't
+            # appearance confusion, and the gates (static blend) own the
+            # lost path anyway.
+            blend_next = jnp.where(
+                lost, b_run, (1.0 - ab_ema) * b_run + ab_ema * b_tgt
+            )
+        else:
+            blend_next = state.blend
         new_state = TrackerState(
             pf=new_pf,
             template=template,
@@ -650,6 +705,7 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             coast_xy=coast_xy,
             coast_vel=coast_vel,
             coast_acc=coast_acc,
+            blend=blend_next,
         )
         track_out = TrackOutput(
             # coast_xy already selects est_out on the non-lost branch.
@@ -693,7 +749,11 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             sf = StreamFrame(track=FrameView(px, org, tv.stride), glob=gv)
             return step_fn(prm, s, sf)
 
-        return jax.lax.scan(body, state, (tv.pixels, tv.origin))
+        # runtime.stream_chunk_unroll: the chunk length is small and static,
+        # so the scan can be fully unrolled — no outer `while` in the chunk
+        # executable, at a chunk-times-larger program.
+        unroll = True if cfg.runtime.stream_chunk_unroll else 1
+        return jax.lax.scan(body, state, (tv.pixels, tv.origin), unroll=unroll)
 
     return _Fns(
         init=init_fn,
@@ -789,6 +849,9 @@ def _state_from_named(flat: dict, path: str) -> TrackerState:
         # Added with accel-aware coasting: older files resume with zero
         # acceleration (= the constant-velocity coast they were saved under).
         coast_acc=get("coast_acc", np.zeros_like(np.asarray(flat["center"], np.float32))),
+        # Added with the automatic head-blend policy: older files resume
+        # unseeded (-1 = adopt the static model.head_blend on the next step).
+        blend=get("blend", np.full_like(np.asarray(flat["conf"], np.float32), -1.0)),
     )
 
 

@@ -231,3 +231,51 @@ def test_step_packed_matches_step_device():
         np.asarray(tr_b.state.pf.particles),
         atol=1e-3, rtol=1e-5,
     )
+
+
+def test_stream_track_adaptive_chunk_switches_and_tracks():
+    """chunk_max > chunk with an unreachable fps_target forces a switch to
+    the larger dispatch size mid-stream: every frame must still be tracked
+    once, records stay contiguous/in-order across the switch (mixed-shape
+    packed rows), and the trajectory still follows the target."""
+    cfg = _cfg()
+    src = open_source("synthetic:moving-square", 44, (240, 320), seed=0)
+    arr = np.stack(list(src))
+    tr = Tracker(cfg)
+    recs = []
+    stats = stream_track(
+        tr,
+        iter(arr[1:]),
+        src.init_bbox,
+        on_record=recs.append,
+        roi_px=160,
+        glob_stride=4,
+        glob_every=4,
+        steer_lag=8,
+        chunk=2,
+        chunk_max=4,
+        fps_target=1e9,  # never reachable -> switch up as soon as allowed
+        readback_window=8,
+    )
+    assert stats["frames"] == 42
+    assert sorted(r["frame"] for r in recs) == list(range(1, 43))
+    truth = src.truth[2:]
+    errs = [
+        float(np.hypot(*(np.asarray(r["position"]) - truth[r["frame"] - 1])))
+        for r in sorted(recs, key=lambda r: r["frame"])
+    ]
+    assert np.sqrt(np.mean(np.square(errs))) < 12.0, errs
+
+
+def test_roi_shipper_lost_seen():
+    from vitparticlefiltertracker_tpu.runtime.streaming import RoiShipper
+
+    ship = RoiShipper((240, 320), 160, (160.0, 120.0))
+    assert not ship.lost_seen
+    ship.observe({"frame": 3, "position": [10.0, 10.0], "lost": True})
+    assert ship.lost_seen
+    # Stale records (older frame) must not clear the flag.
+    ship.observe({"frame": 2, "position": [0.0, 0.0], "lost": False})
+    assert ship.lost_seen
+    ship.observe({"frame": 4, "position": [11.0, 10.0], "lost": False})
+    assert not ship.lost_seen

@@ -79,6 +79,19 @@ VARIANTS = {
         "roi": {"px": 1600, "out": 288, "glob_stride": 8, "glob_every": 8},
         "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
     },
+    # ADAPTIVE chunk (runtime.stream_chunk_max): starts at c4 (the fps
+    # median winner) and doubles to c8 whenever the rolling rate drops
+    # below 60 fps — the worst-run insurance for the H2D congestion that
+    # put one round-4 run at 56.7 fps (round-4 VERDICT weak #3). Both
+    # sizes' executables are warmed before the measured window. steer_lag
+    # 48 covers the c8 steering granularity when congestion forces it.
+    "eval5-roi-adaptive": {
+        "model": "vit-l16", "particles": 16384, "frame": (2160, 3840),
+        "frames": 240, "chunk": 4, "chunk_max": 8,
+        "steer_lag": 48, "steer_workers": 3,
+        "roi": {"px": 1600, "out": 288, "glob_stride": 8, "glob_every": 8},
+        "tracker": EVAL5_TRACKER, "lost_ratio": 0.55,
+    },
     # 4K streaming soak (round-3 VERDICT missing #3): 1,000 frames through
     # the exact eval5-roi-c4 pipeline — sustained fps + RMSE + lost count
     # over a run ~4x the headline's, so one congested relay window can't
@@ -221,22 +234,30 @@ def run_variant(name: str) -> dict:
         warm_dev = jax.device_put(warm)
         shipped_mb = h * w * 3 / 1e6
     chunk = int(v.get("chunk", 1))
+    chunk_max = int(v.get("chunk_max", 0))
     if chunk > 1:
-        # Warm the CHUNK executable (C-frame scan: its own compile).
+        # Warm the CHUNK executable (C-frame scan: its own compile) — and
+        # with adaptive sizing, EVERY size the stream may switch to, so a
+        # mid-run switch never pays a compile inside the measured window.
         # Python sources (non-default clips) have no read_rect: warm via
         # the host-crop chunk shipper on zero frames instead.
-        def warm_chunk():
-            if hasattr(src, "read_rect"):
-                return ship.ship_native_chunk(src, [0] * chunk)
-            return ship.ship_chunk([warm] * chunk, list(range(chunk)))
+        warm_sizes = [chunk]
+        while chunk_max and warm_sizes[-1] * 2 <= chunk_max:
+            warm_sizes.append(warm_sizes[-1] * 2)
 
-        out = tracker.step_chunk_device(warm_chunk())
-        np.asarray(out.position)
-        # Warm the fused step+pack executable the records pipeline runs
-        # (stream_track switches to it after the first chunk).
-        np.asarray(tracker.step_chunk_packed(warm_chunk()))
+        def warm_chunk(c):
+            if hasattr(src, "read_rect"):
+                return ship.ship_native_chunk(src, [0] * c)
+            return ship.ship_chunk([warm] * c, list(range(c)))
+
+        for c in warm_sizes:
+            out = tracker.step_chunk_device(warm_chunk(c))
+            np.asarray(out.position)
+            # Warm the fused step+pack executable the records pipeline runs
+            # (stream_track switches to it after the first chunk).
+            np.asarray(tracker.step_chunk_packed(warm_chunk(c)))
         t_dev0 = time.perf_counter()
-        out = tracker.step_chunk_device(warm_chunk())
+        out = tracker.step_chunk_device(warm_chunk(chunk))
         np.asarray(out.position)
         step_rtt_ms = (time.perf_counter() - t_dev0) * 1e3 / chunk
     else:
@@ -263,6 +284,7 @@ def run_variant(name: str) -> dict:
         steer_lag=v.get("steer_lag", 32),
         chunk=chunk,
         steer_workers=v.get("steer_workers", 2),
+        chunk_max=chunk_max,
     )
     row = {
         "variant": name,
@@ -283,6 +305,7 @@ def run_variant(name: str) -> dict:
         "frame_MB": round(h * w * 3 / 1e6, 1),
         "shipped_MB_per_frame": round(shipped_mb, 3),
         "chunk": chunk,
+        **({"chunk_max": chunk_max} if chunk_max else {}),
         "backend": jax.default_backend(),
     }
     if roi and recs and getattr(src, "truth", None) is not None:

@@ -192,6 +192,9 @@ def cmd_stream(cfg: Config, quiet: bool = False) -> int:
         glob_every=rt.stream_glob_every,
         chunk=rt.stream_chunk if rt.banks == 1 and rt.stream_roi > 0 else 1,
         steer_workers=rt.stream_steer_workers,
+        chunk_max=rt.stream_chunk_max,
+        fps_target=rt.stream_fps_target,
+        lost_throttle=rt.stream_lost_throttle,
     )
     sink.close()
     if not quiet:

@@ -31,7 +31,7 @@ def ranks_in_sorted(keys: jax.Array, queries: jax.Array) -> jax.Array:
     """rank[i] = #{j : keys[j] < queries[i]} for ASCENDING keys -> [M] int32.
 
     Equal to jnp.searchsorted(keys, queries, side='left') — verified
-    element-exact in tests/test_resample.py against adversarial inputs
+    element-exact in tests/test_filter.py against adversarial inputs
     (duplicate keys, queries on boundaries) — but lowered as a two-level
     blocked count: split keys into LANES blocks, count fully-passed blocks
     via the block maxima [M, LANES], then count within the one candidate

@@ -118,6 +118,7 @@ class RoiShipper:
         self._last_pos = np.asarray(init_center, np.float32)
         self._last_vel = np.zeros(2, np.float32)
         self._last_idx = 0
+        self._last_lost = False
         self._idx = 0
         # Two steer workers call observe() concurrently with main-thread
         # prediction reads: snapshot/update the (pos, vel, idx) triple under
@@ -294,11 +295,21 @@ class RoiShipper:
                 rec.get("velocity", (0.0, 0.0)), np.float32
             )
             self._last_idx = int(rec["frame"])
+            if "lost" in rec:
+                self._last_lost = bool(rec["lost"])
 
     @property
     def observed_idx(self) -> int:
         """Newest frame index whose estimate has steered the ROI."""
         return self._last_idx
+
+    @property
+    def lost_seen(self) -> bool:
+        """True while the newest steered record reports the tracker lost —
+        the stream loop's signal to tighten the submit-ahead cap so a
+        re-detection jump re-aims the shipped crop within ~one chunk
+        (runtime.stream_lost_throttle)."""
+        return self._last_lost
 
 
 class FramePump:
@@ -368,6 +379,9 @@ def stream_track(
     steer_lag: int = 16,
     chunk: int = 1,
     steer_workers: int = 2,
+    chunk_max: int = 0,
+    fps_target: float = 60.0,
+    lost_throttle: bool = True,
 ) -> dict[str, Any]:
     """Run the fused decode→track pipeline over a source.
 
@@ -394,6 +408,20 @@ def stream_track(
     44 fps). Steering granularity becomes C frames; ROI prediction already
     extrapolates per frame, so the crops stay centered as long as
     steer_lag-frame dead reckoning holds — same trade as chunk=1.
+
+    chunk_max > chunk: ADAPTIVE dispatch sizing — when the rolling pipeline
+    rate falls below fps_target, the dispatch size doubles (chunk, 2*chunk,
+    ... up to chunk_max) to halve the per-dispatch overhead that congestion
+    inflates, and steps back down once the rate clears the target with
+    margin. Any split of the frame stream into chunks yields the same
+    trajectory (the chunked scan == sequential steps; tests assert), so
+    switching is semantically free. Pending record windows flush on a
+    switch so each drained window stays shape-homogeneous.
+
+    lost_throttle: while the newest steered record reports LOST, the
+    submit-ahead cap tightens from steer_lag to one chunk, so a global
+    re-detection's jump re-aims the shipped ROI within ~a chunk instead of
+    a steer-lag of misaimed frames (runtime.stream_lost_throttle).
     """
     # Native ROI fast path: when the source is the native ingestion runtime
     # (io/native.py) AND ROI shipping is on, frames are never materialized —
@@ -429,8 +457,11 @@ def stream_track(
             roi_out=roi_out,
         )
 
-    pending: list[tuple[int, Any]] = []
-    packer: OutputPacker | None = None
+    # Record entries are (frame_idx, packed_row, dispatch_size): the size
+    # keys the OutputPacker layout — adaptive sizing means rows of several
+    # shapes coexist in flight.
+    pending: list[tuple[int, Any, int]] = []
+    packers: dict[int, OutputPacker] = {}
     want_records = on_record is not None or shipper is not None
     # Fused step+pack entry points (optional — banked trackers may not have
     # them; pack_track_output's layout == OutputPacker's, tests assert).
@@ -451,12 +482,15 @@ def stream_track(
     #   bound only caps memory.
     drain_q: queue.Queue = queue.Queue(maxsize=2)
     drain_err: list[BaseException] = []
-    hist: list[tuple[int, Any]] = []  # recent packed records (main appends)
+    hist: list[tuple[int, Any, int]] = []  # recent packed records (main appends)
     steer_stop = False
-    # Margin is in HIST ENTRIES (one per dispatch = `chunk` frames): aim the
-    # fetch ~steer_lag/2 frames behind the newest submission, and keep at
-    # least one claimable entry per steer worker so none of them starve.
-    steer_margin = max(1, steer_workers, steer_lag // (2 * max(1, chunk)))
+
+    def steer_margin(size: int) -> int:
+        # Margin is in HIST ENTRIES (one per dispatch = `size` frames): aim
+        # the fetch ~steer_lag/2 frames behind the newest submission, and
+        # keep at least one claimable entry per steer worker so none of
+        # them starve.
+        return max(1, steer_workers, steer_lag // (2 * max(1, size)))
 
     def _drain_worker() -> None:
         # Runs until the None sentinel EVEN after an error: a dead consumer
@@ -469,7 +503,7 @@ def stream_track(
             if drain_err:
                 continue
             try:
-                _drain(item, packer, on_record, chunk)
+                _drain(item, packers, on_record)
             except BaseException as e:  # surfaced after the loop
                 drain_err.append(e)
 
@@ -490,7 +524,7 @@ def stream_track(
             # steer-lag flow control, hist freezes, and if recent[0] was
             # already claimed no worker ever fetched anything — the two
             # sides waited on each other forever.)
-            recent = hist[-(steer_margin + 1) :]
+            recent = hist[-(steer_margin(hist[-1][2] if hist else chunk) + 1) :]
             item = None
             with steer_lock:
                 for e in recent:
@@ -501,21 +535,23 @@ def stream_track(
             if item is None:
                 time.sleep(0.001)
                 continue
-            idx, packed = item
+            idx, packed, size = item
             try:
-                out = packer.unpack(np.asarray(packed))  # tiny D2H, ~one RTT
+                out = packers[size].unpack(np.asarray(packed))  # ~one RTT
             except BaseException as e:
                 drain_err.append(e)
                 return
             pos = np.asarray(out.position, np.float32)
             vel = np.asarray(out.velocity, np.float32)
-            if chunk > 1:  # chunked record: steer on its newest frame
-                pos, vel = pos[-1], vel[-1]
+            lost = np.asarray(out.lost)
+            if size > 1:  # chunked record: steer on its newest frame
+                pos, vel, lost = pos[-1], vel[-1], lost[-1]
             shipper.observe(
                 {
                     "frame": idx,
                     "position": pos.tolist(),
                     "velocity": vel.tolist(),
+                    "lost": bool(np.any(lost)),
                 }
             )
 
@@ -556,21 +592,33 @@ def stream_track(
 
     n = 0
     ingest_wait = submit = readback = 0.0
+    # Adaptive dispatch sizing (chunk_max > chunk): the usable sizes are
+    # doublings of `chunk` capped at chunk_max; the loop starts at `chunk`
+    # and moves along `sizes` with the rolling pipeline rate (see the
+    # switch block at the bottom of the chunked loop).
+    sizes = [chunk]
+    while chunk_max and chunk > 1 and sizes[-1] * 2 <= chunk_max:
+        sizes.append(sizes[-1] * 2)
+    cur_i = 0
+    rate_marks: list[tuple[float, int]] = []  # (wall time, frames submitted)
+    last_switch_n = 0
+    pending_frames = 0
     t0 = time.perf_counter()
     t = t0
     try:
         while chunk > 1:  # chunked ROI loop: C frames per H2D + dispatch
+            cur = sizes[cur_i]
             t = time.perf_counter()
             if native_roi:
                 idxs, frames = [], None
-                for _ in range(chunk):
+                for _ in range(cur):
                     i = next(it, None)
                     if i is None:
                         break
                     idxs.append(i)
             else:
                 frames = []
-                while len(frames) < chunk:
+                while len(frames) < cur:
                     f = next(it, None)
                     if f is None:
                         break
@@ -580,7 +628,7 @@ def stream_track(
             if not idxs:
                 break
             t = time.perf_counter()
-            if len(idxs) < chunk:
+            if len(idxs) < cur:
                 # Tail shorter than a chunk: per-frame path (separate compile),
                 # records read back synchronously — it's the end of the
                 # stream. Flush queued windows + join the drainer FIRST so
@@ -615,36 +663,71 @@ def stream_track(
                 if native_roi
                 else shipper.ship_chunk(frames, idxs)
             )
-            # Once the packer layout is known (first chunk), track + pack in
-            # ONE executable (Tracker.step_chunk_packed): one dispatch per
-            # chunk instead of a step dispatch plus a pack dispatch.
-            if want_records and packer is not None and chunk_packed is not None:
+            # Once this size's packer layout is known (its first chunk),
+            # track + pack in ONE executable (Tracker.step_chunk_packed):
+            # one dispatch per chunk instead of step + separate pack.
+            if want_records and cur in packers and chunk_packed is not None:
                 packed = chunk_packed(dev)
             else:
                 out = tracker.step_chunk_device(dev)
                 packed = None
                 if want_records:
-                    if packer is None:
-                        packer = OutputPacker(out)
-                    packed = packer.pack(out)
+                    if cur not in packers:
+                        packers[cur] = OutputPacker(out)
+                    packed = packers[cur].pack(out)
             if want_records:
-                hist.append((idxs[-1], packed))
+                hist.append((idxs[-1], packed, cur))
                 if len(hist) > 64:
                     del hist[:-64]
                 if on_record is not None:
-                    pending.append((idxs[-1], packed))
+                    pending.append((idxs[-1], packed, cur))
+                    pending_frames += len(idxs)
             submit += time.perf_counter() - t
             n += len(idxs)
-            if len(pending) * chunk > readback_window and not drain_err:
+            if pending_frames > readback_window and not drain_err:
                 done, pending = pending, []
+                pending_frames = 0
                 t = time.perf_counter()
                 drain_q.put(done)
                 readback += time.perf_counter() - t
             if steer_lag > 0:
+                # Lost-aware throttle: while the newest steered record says
+                # LOST, cap submit-ahead at one chunk so a re-detection jump
+                # re-aims the next shipped crop almost immediately.
+                lag_now = (
+                    cur if (lost_throttle and shipper.lost_seen) else steer_lag
+                )
                 t = time.perf_counter()
-                while n - shipper.observed_idx > steer_lag and not drain_err:
+                while n - shipper.observed_idx > lag_now and not drain_err:
                     time.sleep(0.0005)
                 readback += time.perf_counter() - t
+            if len(sizes) > 1:
+                # Rolling rate over the last ~2 s (>= 2 marks): switch up
+                # when it can't hold fps_target, back down when it clears
+                # the target with 60% margin; cooldown of 4 dispatches
+                # between switches; flush pending so drained windows stay
+                # shape-homogeneous.
+                now = time.perf_counter()
+                rate_marks.append((now, n))
+                while len(rate_marks) > 2 and now - rate_marks[0][0] > 2.0:
+                    rate_marks.pop(0)
+                span = now - rate_marks[0][0]
+                if len(rate_marks) >= 3 and span > 0.5 and (
+                    n - last_switch_n >= 4 * cur
+                ):
+                    rate = (n - rate_marks[0][1]) / span
+                    new_i = cur_i
+                    if rate < fps_target and cur_i + 1 < len(sizes):
+                        new_i = cur_i + 1
+                    elif rate > 1.6 * fps_target and cur_i > 0:
+                        new_i = cur_i - 1
+                    if new_i != cur_i:
+                        if pending and not drain_err:
+                            drain_q.put(pending)
+                            pending, pending_frames = [], 0
+                        cur_i = new_i
+                        last_switch_n = n
+                        rate_marks.clear()
         while chunk == 1:
             t = time.perf_counter()
             frame = next(it, None)
@@ -664,21 +747,21 @@ def stream_track(
             # threads fetch packed rows — one transfer, not 7 fields); once
             # the layout is known, packing happens INSIDE the step executable
             # (Tracker.step_packed) — one dispatch per frame, not two.
-            if want_records and packer is not None and step_packed is not None:
+            if want_records and 1 in packers and step_packed is not None:
                 packed = step_packed(dev)
             else:
                 out = tracker.step_device(dev)
                 packed = None
                 if want_records:
-                    if packer is None:
-                        packer = OutputPacker(out)
-                    packed = packer.pack(out)
+                    if 1 not in packers:
+                        packers[1] = OutputPacker(out)
+                    packed = packers[1].pack(out)
             if want_records:
-                hist.append((n + 1, packed))
+                hist.append((n + 1, packed, 1))
                 if len(hist) > 64:
                     del hist[:-64]
                 if on_record is not None:
-                    pending.append((n + 1, packed))
+                    pending.append((n + 1, packed, 1))
             submit += time.perf_counter() - t
             n += 1
             if len(pending) > readback_window and not drain_err:
@@ -693,8 +776,11 @@ def stream_track(
                 # head, and the predicted ROI walks off the target (measured:
                 # 49.7 fps but RMSE 109 px / 80 lost frames on the 4K run).
                 # The cap bounds both the steering lag and in-flight memory.
+                lag_now = (
+                    1 if (lost_throttle and shipper.lost_seen) else steer_lag
+                )
                 t = time.perf_counter()
-                while n - shipper.observed_idx > steer_lag and not drain_err:
+                while n - shipper.observed_idx > lag_now and not drain_err:
                     time.sleep(0.0005)
                 readback += time.perf_counter() - t
         t = time.perf_counter()
@@ -730,12 +816,16 @@ def stream_track(
     }
 
 
-def _drain(pending, packer: OutputPacker, on_record, chunk: int = 1) -> None:
-    """Read back a window of packed records in one D2H transfer and emit."""
+def _drain(pending, packers: dict[int, OutputPacker], on_record) -> None:
+    """Read back a window of packed records in one D2H transfer and emit.
+
+    Entries are (frame_idx, packed_row, dispatch_size); a window is
+    shape-homogeneous by construction (the submit loop flushes pending on
+    an adaptive size switch), so one jnp.stack covers it."""
     import os
 
     t0 = time.perf_counter()
-    stacked = jnp.stack([p for _, p in pending])
+    stacked = jnp.stack([p for _, p, _ in pending])
     t1 = time.perf_counter()
     buf = np.asarray(stacked)
     if os.environ.get("VPT_STREAM_DEBUG"):
@@ -745,13 +835,13 @@ def _drain(pending, packer: OutputPacker, on_record, chunk: int = 1) -> None:
             f"{(time.perf_counter() - t1) * 1e3:.0f} ms",
             flush=True,
         )
-    for (idx, _), row in zip(pending, buf):
-        out = packer.unpack(row)
+    for (idx, _, size), row in zip(pending, buf):
+        out = packers[size].unpack(row)
         pos = np.asarray(out.position)
         # Explicit chunk flag, NOT ndim: banked multistream records are ALSO
         # 2-D ([K streams, 2]) and must pass through whole (cli.py fans them
         # out per stream).
-        if chunk > 1:  # chunked row: C per-frame records, idx is LAST
+        if size > 1:  # chunked row: C per-frame records, idx is LAST
             c = pos.shape[0]
             for j in range(c):
                 on_record(

@@ -205,3 +205,29 @@ def test_state_roundtrip_preserves_pytree(tmp_path):
         jax.tree_util.tree_leaves(loaded._replace(key=jax.random.key_data(loaded.key))),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_head_checkpoint_into_headless_spec_refuses(tmp_path):
+    """A trained-head file loaded into a spec with head_depth=0 must raise:
+    the forward pass would silently ignore the head and evaluate pure random
+    init under the checkpoint's name (the round-5 mislabeled-QUALITY-rows
+    bug — models/params.py:load_or_init guard)."""
+    import pytest
+
+    spec_h = VitSpec(depth=2, dim=64, heads=2, mlp_dim=128, image_size=32,
+                     dtype=jnp.float32, use_flash_attention=False,
+                     head_depth=1)
+    params = load_or_init("", spec_h, seed=3)
+    path = str(tmp_path / "head.npz")
+    save_params(path, {"head": params["head"]}, trunk_seed=3)
+    spec_0 = VitSpec(depth=2, dim=64, heads=2, mlp_dim=128, image_size=32,
+                     dtype=jnp.float32, use_flash_attention=False)
+    with pytest.raises(ValueError, match="head_depth"):
+        load_or_init(path, spec_0, seed=3)
+    # The same file into the matching spec loads fine (and the trunk is the
+    # byte-frozen regeneration).
+    loaded = load_or_init(path, spec_h, seed=3)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["blocks"]["attn"]["wqkv"]),
+        np.asarray(params["blocks"]["attn"]["wqkv"]),
+    )

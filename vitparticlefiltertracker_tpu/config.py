@@ -77,7 +77,10 @@ class ModelConfig:
     # head can only tax the matched filter) drives the blend to
     # head_blend_min; a split/multimodal one (a lookalike inside the cloud)
     # drives it to head_blend_max. The running blend is EMA-smoothed
-    # (head_blend_ema per step), frozen while lost (boosted exploration
+    # (head_blend_ema per step, RELEASE ONLY — a rising target attacks
+    # instantly, same-step, so a lookalike entering the window is taxed by
+    # the head the frame it lands; runtime/tracker.py), frozen while lost
+    # (boosted exploration
     # noise inflates the spread for reasons that aren't appearance
     # confusion), and carried in TrackerState.blend. Dense mode only.
     head_blend_auto: bool = False

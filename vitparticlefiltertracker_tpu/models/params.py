@@ -180,19 +180,22 @@ def load_or_init(checkpoint: str, spec: VitSpec, seed: int = 0):
     if checkpoint:
         prm = load_params(checkpoint)
         ts = prm.pop("__trunk_seed__", None) if isinstance(prm, dict) else None
-        if isinstance(prm, dict) and "head" in prm and spec.head_depth <= 0:
-            # The forward pass only runs the residual head when
-            # spec.head_depth > 0 (models/vit.py): loading a trained-head
-            # file into a headless spec would silently evaluate PURE RANDOM
-            # init while reporting the checkpoint's name everywhere — which
-            # is exactly how two mislabeled "trained" QUALITY rows got
-            # measured (round 5; the eval harness passed the checkpoint but
-            # not model.head_depth). Refuse loudly instead.
+        if ts is not None and spec.head_depth <= 0:
+            # A HEAD-ONLY file exists solely to serve its trained head: the
+            # forward pass only runs the head when spec.head_depth > 0
+            # (models/vit.py), so loading one into a headless spec would
+            # silently evaluate PURE RANDOM init while reporting the
+            # checkpoint's name everywhere — exactly how two mislabeled
+            # "trained" QUALITY rows got measured (round 5; the eval harness
+            # passed the checkpoint but not model.head_depth). Refuse
+            # loudly. (FULL checkpoints keep the documented trunk-only A/B
+            # convenience — resolve_vit_params drops their head instead.)
             raise ValueError(
-                f"{checkpoint} contains residual-head weights but "
-                "model.head_depth is 0 — the head would be silently "
-                "ignored. Set model.head_depth to the depth the head was "
-                "trained with (configs/train-head*.yaml: 2)."
+                f"{checkpoint} is a head-only checkpoint but "
+                "model.head_depth is 0 — the trained head would be silently "
+                "ignored and the model would be pure random init. Set "
+                "model.head_depth to the depth the head was trained with "
+                "(configs/train-head*.yaml: 2)."
             )
         if ts is not None:
             # HEAD-ONLY checkpoint (save_params trunk_seed): regenerate the

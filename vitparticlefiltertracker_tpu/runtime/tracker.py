@@ -370,7 +370,6 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             # feature half currently resolves the scene.
             cos_f, cos_h, in_win = pool.score_halves(tmpl, boxes_xy, boxes_wh)
             b_run = jnp.where(state.blend >= 0.0, state.blend, jnp.float32(ab_init))
-            cos_loc = (1.0 - b_run) * cos_f + b_run * cos_h
             d_static, b_static = split
             cos = (1.0 - b_static) * cos_f + b_static * cos_h
             # Confusion signal: softmax-weighted spatial spread of the TRUNK
@@ -380,6 +379,17 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             spread = landscape_spread(cos_f, boxes_xy, ab_top, mask=in_win)
             box_diag = jnp.linalg.norm(state.box_wh) * state.prev_scale
             b_tgt = auto_blend_target(spread, box_diag, ab_lo, ab_hi, ab_min, ab_max)
+            # FAST ATTACK, slow release: THIS step's likelihood already uses
+            # the attacked blend max(b_run, b_tgt). Confusion is an emergency
+            # — a lookalike entering the window must be taxed by the head the
+            # same frame it lands in the cloud, or the transfer happens while
+            # the EMA is still warming up (measured round 5: lookalikes
+            # seed 0 locked an impostor at 81 px RMSE under the symmetric
+            # EMA; the clip's other seeds and every other family were fine).
+            # Release (b_tgt < b_run) stays EMA-smoothed so one quiet frame
+            # mid-confusion can't drop the tax (see blend_next below).
+            b_use = jnp.maximum(b_run, b_tgt)
+            cos_loc = (1.0 - b_use) * cos_f + b_use * cos_h
             if use_znorm:
                 loglik = znormed_logits_from_cos(cos_loc, zscale, mask=in_win)
             else:
@@ -680,12 +690,17 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             jnp.where(accepted, jnp.zeros_like(est_vel), est_vel),
         )
         if auto_blend:
-            # EMA toward the measured target, frozen while lost: the boosted
-            # exploration noise inflates the spread for reasons that aren't
-            # appearance confusion, and the gates (static blend) own the
-            # lost path anyway.
+            # Asymmetric update toward the measured target, frozen while
+            # lost (the boosted exploration noise inflates the spread for
+            # reasons that aren't appearance confusion, and the gates
+            # (static blend) own the lost path anyway). Attack is instant —
+            # max(EMA, b_tgt) jumps straight to b_tgt when confusion rises,
+            # matching the b_use this step's likelihood already applied —
+            # while release rides the EMA down.
             blend_next = jnp.where(
-                lost, b_run, (1.0 - ab_ema) * b_run + ab_ema * b_tgt
+                lost,
+                b_run,
+                jnp.maximum((1.0 - ab_ema) * b_run + ab_ema * b_tgt, b_tgt),
             )
         else:
             blend_next = state.blend

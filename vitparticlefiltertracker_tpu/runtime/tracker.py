@@ -389,6 +389,19 @@ def build_tracker_fns(cfg: Config, batch_hint: int = 1) -> _Fns:
             # Release (b_tgt < b_run) stays EMA-smoothed so one quiet frame
             # mid-confusion can't drop the tax (see blend_next below).
             b_use = jnp.maximum(b_run, b_tgt)
+            # While LOST the posterior is a SEARCH distribution, not a
+            # localizer: the boosted exploration cloud is hunting for the
+            # target among whatever the window contains, so discrimination
+            # is everything and localization precision is moot. Weight it
+            # with the gates' static blend instead of the frozen adaptive
+            # one. Measured failure without this (round 5, lookalikes
+            # seed 0): the clip occludes the target while an impostor
+            # shadows it; the pre-occlusion scene is unimodal so the
+            # adaptive blend sat at b_min when the lost gate fired, froze
+            # there, and the b_min-weighted exploration posterior handed
+            # the cloud to the impostor (81 px RMSE) — while the same
+            # frames at the static 0.5 blend re-acquire the true target.
+            b_use = jnp.where(state.lost, jnp.float32(b_static), b_use)
             cos_loc = (1.0 - b_use) * cos_f + b_use * cos_h
             if use_znorm:
                 loglik = znormed_logits_from_cos(cos_loc, zscale, mask=in_win)
